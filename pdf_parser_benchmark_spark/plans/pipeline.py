@@ -1,0 +1,184 @@
+"""The flagship extraction pipeline, end to end:
+
+    read pages table → assign split buckets → resume-filter vs checkpoint
+    manifest → salt + repartition (skew control) → Arrow-vectorized
+    extraction (mapInPandas) → write partitioned output → lineage counters
+    → mark splits complete.
+
+This is the Spark restatement of the reference's sequential per-book loop
+(/root/reference/src/ingest.py:283-296) — the loop becomes per-partition
+Arrow batches; the HTTP hops to LLMSherpa/GPT-4o become in-process
+from-scratch extractors (extract/); the nodes.json sink becomes a
+partitioned, resumable table write.
+
+Scale design (north_rule):
+- parallelism: explicit repartition to ``n_tasks`` on a salted key, sized so
+  a task holds ~target_partition_mb of payload at the configured scale;
+- skew: the repartition key is ``xxhash64(url)`` — uniform regardless of the
+  zipf host distribution; for host-colocated variants use
+  ``salted_host_key`` which splits hot hosts across S buckets
+  (``concat(host, pmod(xxhash64(url), S))``); AQE skew-join stays on;
+- the heavy stage is mapInPandas: no shuffle after the repartition until the
+  (tiny, pre-aggregated) lineage shuffle.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..extract.assemble import extract_document
+from ..canonical import encode_doc
+from ..sources import checkpoint as ckpt
+from ..sources.lineage import lineage_counters
+from ..sources.sink import write_extracted
+
+EXTRACTED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "spans array<struct<start:int,end:int,kind:string,page:int,"
+    "chapter:string,section:string>>, "
+    "chunk_count int, parser string, source string, "
+    "canonical string, n_bytes_in bigint, error string, split_id int"
+)
+
+
+def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Arrow batch → extracted rows. Per-document try/except keeps poison
+    documents from killing the task (reference precedent: per-page and
+    per-book continue-on-error, /root/reference/src/ingest.py:154-165)."""
+    import pandas as pd
+
+    for b in batches:
+        out: list[dict] = []
+        for url, ts, payload, lang, split_id in zip(
+            b["url"], b["warc_ts"], b["html"], b["lang"], b["split_id"]
+        ):
+            row: dict = {
+                "url": url,
+                "warc_ts": ts,
+                "lang": lang,
+                "n_bytes_in": len(payload) if payload is not None else 0,
+                "split_id": int(split_id),
+                "error": None,
+                "text": None,
+                "spans": None,
+                "chunk_count": None,
+                "parser": None,
+                "source": None,
+                "canonical": None,
+            }
+            try:
+                payload = bytes(payload) if payload is not None else b""
+                rec = extract_document(url, payload)
+                row.update(
+                    text=rec["text"],
+                    spans=rec["spans"],
+                    chunk_count=rec["meta"]["chunk_count"],
+                    parser=rec["meta"]["parser"],
+                    source=rec["meta"]["source"],
+                    canonical=encode_doc(
+                        rec["url"], rec["text"], rec["spans"], rec["meta"]
+                    ),
+                )
+            except Exception as e:  # poison document
+                row["error"] = f"{type(e).__name__}: {e}"[:500]
+            out.append(row)
+        yield pd.DataFrame(out)
+
+
+def salted_host_key(url_col: str = "url", salt_buckets: int = 16):
+    """Host-colocated partition key with hot-host splitting:
+    concat(host, pmod(xxhash64(url), S))."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return F.concat_ws(
+        "#", host, F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    )
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_splits: int = 64,
+    n_tasks: int | None = None,
+    partition_by_host: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted DF (no I/O)."""
+    spark = pages.sparkSession
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    df = ckpt.with_split_id(pages, n_splits)
+    key = salted_host_key() if partition_by_host else F.xxhash64("url")
+    df = df.repartition(n_tasks, key)
+    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    manifest_dir: str,
+    n_splits: int = 64,
+    n_tasks: int | None = None,
+    resume: bool = True,
+    commit_batches: int = 4,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Full resumable job. Returns summary counters (small driver dict).
+
+    Splits are processed in ``commit_batches`` write+mark transactions: a
+    crash loses at most one batch of splits; a resumed run anti-joins the
+    manifest and redoes only unmarked splits. ``fail_after_batches`` is a
+    test hook that simulates a mid-job crash between commits.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    df = ckpt.with_split_id(pages, n_splits)
+    if resume:
+        df = ckpt.filter_resumable(df, spark, manifest_dir)
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+
+    remaining = sorted(
+        r["split_id"] for r in df.select("split_id").distinct().collect()
+    )
+    if not remaining:
+        return {"run_id": run_id, "docs": 0, "errors": 0, "bytes_in": 0,
+                "html_docs": 0, "pdf_docs": 0, "splits_done": 0}
+
+    batch_size = max(1, -(-len(remaining) // commit_batches))
+    batches = [
+        remaining[i : i + batch_size] for i in range(0, len(remaining), batch_size)
+    ]
+    done_splits: list[int] = []
+    for bi, split_batch in enumerate(batches):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            break  # simulated crash: manifest only covers committed batches
+        part = df.filter(F.col("split_id").isin(split_batch))
+        part = part.repartition(n_tasks, F.xxhash64("url"))
+        extracted = part.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+        write_extracted(extracted, output_dir)  # dynamic overwrite by split
+        batch_written = spark.read.parquet(output_dir).filter(
+            F.col("split_id").isin(split_batch)
+        )
+        ckpt.mark_splits_complete(batch_written, manifest_dir, run_id)
+        done_splits.extend(split_batch)
+
+    written = spark.read.parquet(output_dir).filter(
+        F.col("split_id").isin(done_splits)
+    )
+    lineage = lineage_counters(written)
+
+    totals = lineage.agg(
+        F.sum("docs_out").alias("docs"),
+        F.sum("docs_err").alias("errors"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("html_docs").alias("html_docs"),
+        F.sum("pdf_docs").alias("pdf_docs"),
+    ).collect()[0]
+    return {
+        "run_id": run_id,
+        "docs": totals["docs"],
+        "errors": totals["errors"],
+        "bytes_in": totals["bytes_in"],
+        "html_docs": totals["html_docs"],
+        "pdf_docs": totals["pdf_docs"],
+        "splits_done": len(done_splits),
+    }
