@@ -1,0 +1,83 @@
+"""A1 — the flagship boilerplate line-frequency aggregation, as pure
+DataFrame algebra (the grouped-UDF twin lives in extract/assemble.py for
+use inside the extraction pipeline).
+
+Rule (/root/reference/CLAUDE.md:195-211, pinned by
+/root/reference/tests/test_ingest.py:24-43): counting every occurrence of
+each stripped non-empty line across a document's pages, a line is
+boilerplate iff  count > n_pages * 0.4  AND  len(line) < 100  — both
+strict. Removal drops lines whose *stripped* form is boilerplate, keeping
+original line order.
+
+Plan shape: posexplode(split(text,'\\n')) → count lines per doc →
+broadcast-friendly anti-join back → ordered re-assembly via
+array_sort(collect_list(struct(pos,line))). Two shuffles (count + regroup),
+both partial-aggregated map-side; scales linearly in total line count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BOILER_FRACTION = 0.4
+BOILER_MAX_LEN = 100
+
+
+def explode_lines(
+    pages: DataFrame, doc_col: str, page_col: str, text_col: str
+) -> DataFrame:
+    """pages(doc, page, text) → one row per (doc, page, pos, line)."""
+    return pages.select(
+        F.col(doc_col).alias("doc"),
+        F.col(page_col).alias("page"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def boilerplate_lines(
+    pages: DataFrame, doc_col: str, page_col: str, text_col: str
+) -> DataFrame:
+    """→ (doc, line, cnt): the boilerplate set per document."""
+    lines = explode_lines(pages, doc_col, page_col, text_col).withColumn(
+        "sline", F.trim(F.col("line"))
+    )
+    page_counts = pages.groupBy(F.col(doc_col).alias("doc")).agg(
+        F.count("*").alias("n_pages")
+    )
+    return (
+        lines.filter(F.col("sline") != "")
+        .groupBy("doc", "sline")
+        .agg(F.count("*").alias("cnt"))
+        .join(page_counts, "doc")
+        .filter(
+            (F.col("cnt") > F.col("n_pages") * BOILER_FRACTION)
+            & (F.length("sline") < BOILER_MAX_LEN)
+        )
+        .select("doc", F.col("sline").alias("line"), "cnt")
+    )
+
+
+def strip_boilerplate(
+    pages: DataFrame, doc_col: str, page_col: str, text_col: str
+) -> DataFrame:
+    """→ (doc, page, clean_text): every page with boilerplate lines removed,
+    original line order preserved."""
+    lines = explode_lines(pages, doc_col, page_col, text_col)
+    boiler = boilerplate_lines(pages, doc_col, page_col, text_col).select(
+        "doc", F.col("line").alias("sline")
+    )
+    kept = lines.withColumn("sline", F.trim("line")).join(
+        boiler, ["doc", "sline"], "left_anti"
+    )
+    return (
+        kept.groupBy("doc", "page")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )

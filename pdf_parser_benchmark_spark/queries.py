@@ -1,0 +1,1155 @@
+"""Driver-contract query suite: every implemented operator from SURVEY.md §2
+as a (spark_callable, duckdb_oracle_sql) pair over the driver testdata
+tables (documents, embeddings, events, TPC-H-ish set).
+
+Conventions for oracle hash-parity:
+- every computed column aliased identically in Spark and SQL;
+- float outputs rounded (4–6 digits); exact-money aggregates go through
+  DECIMAL then round; ids/strings preferred over floats where possible;
+- timestamps never emitted raw (epoch seconds as BIGINT instead);
+- deterministic tie-breaks on every window/top-k.
+
+Queries whose semantics are not ANSI-SQL-expressible (difflib ratio, the
+full extraction pipeline, feature-hash embeddings, simhash bit ops) have no
+oracle entry — the driver records a rows-only check; their correctness is
+pinned by unit tests instead (tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import text as TXT
+from .functions.similarity import cosine_rounded
+from .functions.embed import hash_embedding
+from .operators import boilerplate as BP
+from .operators import dedup as DD
+from .operators.chunk_types import chunk_type, chunk_type_sql_case
+from .operators.fuzzy_join import fuzzy_match
+from .operators.hierarchy import propagate_hierarchy
+from .operators.knn import brute_force_topk, ivf_topk
+from .operators.topk import top_k_per_group
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic constructions (identical in Spark + SQL)
+# ---------------------------------------------------------------------------
+
+# multi-line "pages" built from documents: doc = source, page = doc_id,
+# page text = header line + body + footer line (A1 fixture shape)
+_PAGES_SQL = """
+pages AS (
+  SELECT source AS doc, doc_id AS page,
+         'HDR ' || source || chr(10) || text || chr(10) || 'FTR ' || source AS ptext
+  FROM documents
+),
+lines AS (
+  SELECT doc, page,
+         generate_subscripts(string_split(ptext, chr(10)), 1) AS pos,
+         unnest(string_split(ptext, chr(10))) AS line
+  FROM pages
+),
+np AS (SELECT doc, count(*) AS n_pages FROM pages GROUP BY doc),
+lcounts AS (
+  SELECT doc, trim(line) AS sline, count(*) AS cnt
+  FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+),
+boiler AS (
+  SELECT lcounts.doc, sline, cnt FROM lcounts JOIN np USING (doc)
+  WHERE cnt > n_pages * 0.4 AND len(sline) < 100
+)
+"""
+
+
+def _pages_df(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        F.col("source").alias("doc"),
+        F.col("doc_id").alias("page"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("HDR "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("FTR "), F.col("source")),
+        ).alias("ptext"),
+    )
+
+
+# word k-gram shingle CTE over documents (matches functions.text.shingles)
+def _shingle_sql(k: int, table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""
+ws AS (SELECT {id_col} AS id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM {table}),
+sh AS (
+  SELECT id,
+         CASE WHEN len(w) >= {k}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {k} + 1),
+                     i -> array_to_string(w[i:i+{k}-1], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM ws
+)
+"""
+
+
+# ===========================================================================
+# A1 — boilerplate (flagship)
+# ===========================================================================
+
+@query(
+    "boilerplate_strip",
+    f"""WITH {_PAGES_SQL},
+kept AS (
+  SELECT l.doc, l.page, l.pos, l.line FROM lines l
+  LEFT JOIN boiler b ON l.doc = b.doc AND trim(l.line) = b.sline
+  WHERE b.sline IS NULL
+)
+SELECT doc, page, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc, page""",
+)
+def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 (/root/reference/CLAUDE.md:195-211): strip repeated short lines."""
+    return BP.strip_boilerplate(_pages_df(spark, sf), "doc", "page", "ptext")
+
+
+@query(
+    "boilerplate_lines",
+    f"WITH {_PAGES_SQL} SELECT doc, sline AS line, cnt FROM boiler",
+)
+def q_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    return BP.boilerplate_lines(_pages_df(spark, sf), "doc", "page", "ptext")
+
+
+# ===========================================================================
+# P-series — projections / filters / scalar semantics
+# ===========================================================================
+
+_TAGS_SQL = (
+    "list_value('Header', 'para', 'list_item', 'table_row', 'tbl', 'unknown')"
+    "[(doc_id % 6 + 1)::INT]"
+)
+
+
+@query(
+    "chunk_type_map",
+    f"""SELECT doc_id, {_TAGS_SQL} AS tag,
+       {chunk_type_sql_case(_TAGS_SQL)} AS kind
+FROM documents""",
+)
+def q_chunk_type_map(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 ordered substring map (/root/reference/src/ingest.py:32-39)."""
+    docs = _t(spark, sf, "documents")
+    tag = F.element_at(
+        F.array(
+            F.lit("Header"), F.lit("para"), F.lit("list_item"),
+            F.lit("table_row"), F.lit("tbl"), F.lit("unknown"),
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    return docs.select("doc_id", tag.alias("tag"), chunk_type(tag).alias("kind"))
+
+
+_REPRO_TEXT_SQL = """CASE
+  WHEN doc_id % 3 = 0 THEN 'See Reproducible ' || (doc_id % 9 + 1) || '.' || (doc_id % 5 + 1) || ' now'
+  WHEN doc_id % 3 = 1 THEN 'reproducible ' || (doc_id % 7 + 1) || 'B attached'
+  ELSE text END"""
+
+
+@query(
+    "repro_extract",
+    f"""SELECT doc_id,
+       regexp_extract({_REPRO_TEXT_SQL},
+                      '[Rr]eproducible\\s+([\\d]+\\.[\\d]+|[\\d]+[A-Za-z]?)', 1) AS repro_id
+FROM documents""",
+)
+def q_repro_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 regex (/root/reference/src/ingest.py:66-69)."""
+    docs = _t(spark, sf, "documents")
+    txt = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("See Reproducible "), (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("."), (F.col("doc_id") % 5 + 1).cast("string"), F.lit(" now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("reproducible "), (F.col("doc_id") % 7 + 1).cast("string"),
+                F.lit("B attached"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", TXT.reproducible_id(txt).alias("repro_id"))
+
+
+@query(
+    "empty_filter",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN repeat(' ', (doc_id % 4)::INT) ELSE text END AS kept_text
+FROM documents
+WHERE trim(CASE WHEN doc_id % 5 = 0 THEN repeat(' ', (doc_id % 4)::INT) ELSE text END) <> ''""",
+)
+def q_empty_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 empty-text filter (/root/reference/src/ingest.py:180-183)."""
+    docs = _t(spark, sf, "documents")
+    blk = F.when(
+        F.col("doc_id") % 5 == 0, F.repeat(F.lit(" "), (F.col("doc_id") % 4).cast("int"))
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", blk.alias("kept_text")).filter(
+        F.trim(F.col("kept_text")) != ""
+    )
+
+
+_STEM_SQL = (
+    "'bkf' || lpad((doc_id % 999)::VARCHAR, 3, '0') || '_' || "
+    "replace(lower(substr(text, 1, 24)), ' ', '-')"
+)
+
+
+@query(
+    "filename_meta",
+    f"""WITH s AS (SELECT doc_id, {_STEM_SQL} AS stem FROM documents),
+sl AS (SELECT doc_id, stem,
+              CASE WHEN len(stem) > 7 THEN substr(stem, 8) ELSE stem END AS slug
+       FROM s)
+SELECT doc_id, substr(stem, 1, 6) AS sku,
+       array_to_string(list_transform(string_split(replace(replace(slug, '-', ' '), '_', ' '), ' '),
+                                      x -> upper(x[1]) || lower(x[2:])), ' ') AS title,
+       stem AS source
+FROM sl""",
+)
+def q_filename_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """P11 sku/title/source from stem (/root/reference/CLAUDE.md:186-192,
+    pinned by /root/reference/tests/test_ingest.py:10-22)."""
+    docs = _t(spark, sf, "documents")
+    stem = F.concat(
+        F.lit("bkf"), F.lpad((F.col("doc_id") % 999).cast("string"), 3, "0"),
+        F.lit("_"), F.replace(F.lower(F.substring("text", 1, 24)), F.lit(" "), F.lit("-")),
+    )
+    d = docs.select("doc_id", stem.alias("stem"))
+    return d.select(
+        "doc_id",
+        TXT.sku_from_stem(F.col("stem")).alias("sku"),
+        TXT.title_from_stem(F.col("stem")).alias("title"),
+        F.col("stem").alias("source"),
+    )
+
+
+_NOISY_SQL = "'  ' || upper(substr(text, 1, 30)) || ' & (Second Edition) ®.pdf'"
+
+
+@query(
+    "normalize_title",
+    f"""SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         lower({_NOISY_SQL}), '&', ' and ', 'g'), '\\.pdf$', '', 'g'), '[®™]', '', 'g'),
+         '\\[.*?\\]', ' ', 'g'), '\\(.*?\\)', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')) AS norm
+FROM documents""",
+)
+def q_normalize_title(spark: SparkSession, sf: str) -> DataFrame:
+    """P12 normalize chain (/root/reference/data/pdfs/rename_pdfs.py:30-39).
+
+    Note: reference collapses non-alnum AFTER squeezing, we fold the final
+    whitespace squeeze into the [^a-z0-9]+ collapse (identical output)."""
+    docs = _t(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit("  "), F.upper(F.substring("text", 1, 30)), F.lit(" & (Second Edition) ®.pdf")
+    )
+    return docs.select("doc_id", TXT.normalize_title(noisy).alias("norm"))
+
+
+@query(
+    "cache_key",
+    """SELECT doc_id,
+       sha256(substr(text, 1, 40) || ':' || 'text-embedding-3-large' || ':' || '5') AS key
+FROM documents""",
+)
+def q_cache_key(spark: SparkSession, sf: str) -> DataFrame:
+    """SHA-256 cache key (/root/reference/src/cache.py:10-13)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.cache_key(
+            F.substring("text", 1, 40), F.lit("text-embedding-3-large"), F.lit(5)
+        ).alias("key"),
+    )
+
+
+@query(
+    "metadata_filter",
+    """SELECT doc_id, source, lang FROM documents
+WHERE (text LIKE '%window%' OR text LIKE '%vector%') AND lang = 'en'""",
+)
+def q_metadata_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P10 composed (title-contains OR …) AND type-eq filters
+    (/root/reference/src/rag.py:125-159) — pushed to the parquet scan."""
+    docs = _t(spark, sf, "documents")
+    return docs.filter(
+        (F.col("text").contains("window") | F.col("text").contains("vector"))
+        & (F.col("lang") == "en")
+    ).select("doc_id", "source", "lang")
+
+
+# ===========================================================================
+# A-series — aggregations
+# ===========================================================================
+
+@query(
+    "summary_agg",
+    """SELECT source,
+       count(*) AS n_nodes,
+       sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n_repro,
+       min(substr(text, 1, 20)) AS first_title
+FROM documents GROUP BY source""",
+)
+def q_summary_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 per-sku summary (/root/reference/src/ingest.py:220-252)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)).alias("n_repro"),
+        F.min(F.substring("text", 1, 20)).alias("first_title"),
+    )
+
+
+@query("distinct_sources", "SELECT DISTINCT source FROM documents")
+def q_distinct_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 distinct-sku scan (/root/reference/src/embed.py:58-74)."""
+    return _t(spark, sf, "documents").select("source").distinct()
+
+
+@query(
+    "max_score_gate",
+    """SELECT user_id, round(max(value), 6) AS best_score,
+       max(value) < 0.65 AS used_web
+FROM events GROUP BY user_id""",
+)
+def q_max_score_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 web-fallback gate: max(score) < 0.65
+    (/root/reference/src/rag.py:213-215; threshold src/config.py:39)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.max("value"), 6).alias("best_score"),
+        (F.max("value") < 0.65).alias("used_web"),
+    )
+
+
+# ===========================================================================
+# J-series — joins
+# ===========================================================================
+
+@query(
+    "manifest_equi_join",
+    """SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name, o.o_totalprice AS totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000""",
+)
+def q_manifest_equi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 manifest⋈files equi-join shape with broadcast dim
+    (/root/reference/src/ingest.py:134-139)."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    cust = _t(spark, sf, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_name").alias("cust_name"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@query(
+    "anti_join_resume",
+    """SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents x WHERE x.doc_id % 7 = 0 AND x.doc_id = d.doc_id)""",
+)
+def q_anti_join_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """P8/J3/U2 incremental-resume anti-join
+    (/root/reference/src/embed.py:106-115)."""
+    docs = _t(spark, sf, "documents")
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return docs.join(F.broadcast(done), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+def _books_files(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    books = docs.filter(F.col("doc_id") < 20).select(
+        F.concat(F.lit("bk"), F.lpad(F.col("doc_id").cast("string"), 3, "0")).alias("sku"),
+        F.substring("text", 1, 40).alias("title"),
+    )
+    files = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.replace(F.substring("text", 1, 40), F.lit(" "), F.lit("_")), F.lit(".pdf")
+        ).alias("filename")
+    )
+    return books, files
+
+
+@query("fuzzy_title_join")  # difflib ratio — not SQL-expressible; rows-only
+def q_fuzzy_title_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/W3/U3 fuzzy manifest join, exact reference metric+thresholds
+    (/root/reference/data/pdfs/rename_pdfs.py:78-160)."""
+    books, files = _books_files(spark, sf)
+    return fuzzy_match(books, files, metric="seq_ratio")
+
+
+_NORM_SQL_TMPL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(lower({col}), '&', ' and ', 'g'),"
+    " '\\.pdf$', '', 'g'), '[®™]', '', 'g'), '\\[.*?\\]', ' ', 'g'),"
+    " '\\(.*?\\)', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+@query(
+    "jaccard_title_join",
+    f"""WITH books AS (
+  SELECT 'bk' || lpad(doc_id::VARCHAR, 3, '0') AS bk, substr(text, 1, 40) AS btitle,
+         {_NORM_SQL_TMPL.format(col="substr(text, 1, 40)")} AS bnorm
+  FROM documents WHERE doc_id < 20
+),
+files AS (
+  SELECT replace(substr(text, 1, 40), ' ', '_') || '.pdf' AS fname,
+         {_NORM_SQL_TMPL.format(col="replace(substr(text, 1, 40), ' ', '_') || '.pdf'")} AS fnorm
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+pairs AS (
+  SELECT bk, btitle, fname,
+         round(len(list_filter(list_distinct(string_split_regex(bnorm, '\\s+')),
+                               x -> list_contains(list_distinct(string_split_regex(fnorm, '\\s+')), x)))
+               / greatest(len(list_distinct(list_concat(string_split_regex(bnorm, '\\s+'),
+                                                        string_split_regex(fnorm, '\\s+')))), 1)::DOUBLE,
+               6) AS score
+  FROM books CROSS JOIN files
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY bk ORDER BY score DESC, fname) AS rn,
+         lead(score) OVER (PARTITION BY bk ORDER BY score DESC, fname) AS second_score
+  FROM pairs
+),
+b1 AS (
+  SELECT bk, btitle, fname, score,
+         round(score - coalesce(second_score, 0.0), 6) AS gap,
+         (score >= 0.86 AND score - coalesce(second_score, 0.0) >= 0.05) AS qualified
+  FROM best WHERE rn = 1
+),
+claimed AS (
+  SELECT *, row_number() OVER (PARTITION BY fname ORDER BY qualified DESC, bk) AS claim_rank
+  FROM b1
+)
+SELECT bk, btitle, fname, score, gap,
+       CASE WHEN qualified AND claim_rank = 1 THEN 'OK' ELSE 'SKIP' END AS status
+FROM claimed""",
+)
+def q_jaccard_title_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 with a SQL-expressible metric (word-set Jaccard) so the full
+    best/gap/greedy-claim machinery has an exact oracle."""
+    books, files = _books_files(spark, sf)
+    return fuzzy_match(books, files, metric="jaccard")
+
+
+# ===========================================================================
+# W-series — windows
+# ===========================================================================
+
+@query(
+    "hierarchy_propagation",
+    """WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type IN ('signup', 'error') THEN 1 ELSE 0 END AS is_ch
+  FROM events
+),
+w1 AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN is_ch = 1 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chapter,
+         sum(is_ch) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM e
+)
+SELECT event_id, user_id, chapter,
+       last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id, epoch ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+FROM w1""",
+)
+def q_hierarchy_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 running chapter/section with reset-on-chapter
+    (/root/reference/src/ingest.py:167-205). signup/error events are
+    chapter headers (error has NULL level → chapter, per the
+    'level is None or <= 1' rule), views are section headers."""
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("doc"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type").isin("signup", "error", "view"), "header")
+        .otherwise("para")
+        .alias("tag"),
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("level"),
+        F.col("event_id").cast("string").alias("text"),
+    )
+    out = propagate_hierarchy(ev)
+    return out.select(
+        F.col("seq").alias("event_id"),
+        F.col("doc").alias("user_id"),
+        F.col("chapter").cast("bigint").alias("chapter"),
+        F.col("section").cast("bigint").alias("section"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """SELECT user_id, event_id, round(value, 6) AS score
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 5""",
+)
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 top-k per group, k=5 (/root/reference/src/config.py:30)."""
+    ev = _t(spark, sf, "events")
+    out = top_k_per_group(
+        ev, ["user_id"], [F.desc("value"), F.asc("event_id")], 5
+    )
+    return out.select("user_id", "event_id", F.round("value", 6).alias("score"))
+
+
+@query(
+    "best_second_gap",
+    """SELECT user_id, best, second, gap, (best < 0.86 OR gap < 0.05) AS ambiguous
+FROM (
+  SELECT user_id,
+         round(value, 6) AS best,
+         round(coalesce(lead(value) OVER w, 0.0), 6) AS second,
+         round(value - coalesce(lead(value) OVER w, 0.0), 6) AS gap,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+) WHERE rn = 1""",
+)
+def q_best_second_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 best+runner-up margin (/root/reference/data/pdfs/rename_pdfs.py:79-90,146-150)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("second_raw", F.lead("value").over(w))
+        .filter(F.col("rn") == 1)
+    )
+    second = F.coalesce(F.col("second_raw"), F.lit(0.0))
+    return ranked.select(
+        "user_id",
+        F.round("value", 6).alias("best"),
+        F.round(second, 6).alias("second"),
+        F.round(F.col("value") - second, 6).alias("gap"),
+        ((F.col("value") < 0.86) | ((F.col("value") - second) < 0.05)).alias(
+            "ambiguous"
+        ),
+    )
+
+
+@query(
+    "greedy_dedup",
+    """SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1""",
+)
+def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """U3 one winner per claimed source (/root/reference/data/pdfs/rename_pdfs.py:136-152)."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "sessionize",
+    """WITH g AS (
+  SELECT event_id, user_id, epoch(ts)::BIGINT AS tsec,
+         CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM g""",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle) — ordered stateful window op
+    (engine extension; no reference counterpart, streaming-adjacent)."""
+    ev = _t(spark, sf, "events").withColumn(
+        "tsec", F.unix_timestamp("ts").cast("bigint")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("tsec") - F.lag("tsec").over(w) > 1800)
+            | F.lag("tsec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "event_id", "user_id", F.sum("new_sess").over(wsum).alias("session_id")
+    )
+
+
+@query(
+    "windowed_event_counts",
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def q_windowed_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h window aggregation — the batch twin of the streaming
+    windowed agg in streaming/ (same F.window expression)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# U-series — set ops / routing
+# ===========================================================================
+
+@query(
+    "two_path_union",
+    """SELECT doc_id, 'layout' AS path, upper(substr(text, 1, 30)) AS excerpt
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, 'vision' AS path, lower(substr(text, 1, 30)) AS excerpt
+FROM documents WHERE lang <> 'en'""",
+)
+def q_two_path_union(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 two-path routing + union (/root/reference/src/ingest.py:150-207)."""
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("lang") == "en").select(
+        "doc_id", F.lit("layout").alias("path"),
+        F.upper(F.substring("text", 1, 30)).alias("excerpt"),
+    )
+    b = docs.filter(F.col("lang") != "en").select(
+        "doc_id", F.lit("vision").alias("path"),
+        F.lower(F.substring("text", 1, 30)).alias("excerpt"),
+    )
+    return a.unionByName(b)
+
+
+# ===========================================================================
+# k-NN / ANN retrieval
+# ===========================================================================
+
+@query(
+    "topk_cosine",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, rank FROM (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS rank
+  FROM embeddings WHERE vec_id > 0
+) WHERE rank <= 5""",
+)
+def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/W2 single-query top-5 cosine retrieval (/root/reference/src/rag.py:191-197)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") > 0)
+    out = brute_force_topk(queries, corpus, k=5)
+    return out.select("vec_id", "rank")
+
+
+@query(
+    "knn_join",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5)
+SELECT qid, vec_id, rank FROM (
+  SELECT q.qid, c.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(c.embedding, q.qv) DESC, c.vec_id) AS rank
+  FROM c CROSS JOIN q
+) WHERE rank <= 3""",
+)
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 multi-query k-NN join (k=3) — broadcast crossJoin + window."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(queries, corpus, k=3).select("qid", "vec_id", "rank")
+
+
+_CENTROID_SQL = """
+cent AS (
+  SELECT label, array_agg(mv ORDER BY dim) AS centroid FROM (
+    SELECT label, dim, avg(v) AS mv FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings WHERE vec_id >= 5
+    ) GROUP BY label, dim
+  ) GROUP BY label
+)
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+{_CENTROID_SQL},
+probe AS (
+  SELECT qid, qv, label FROM (
+    SELECT q.qid, q.qv, cent.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(qv, centroid) DESC, label) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT probe.qid, e.vec_id,
+         row_number() OVER (PARTITION BY probe.qid
+                            ORDER BY list_cosine_similarity(e.embedding, probe.qv) DESC, e.vec_id) AS rank
+  FROM embeddings e JOIN probe ON e.label = probe.label
+  WHERE e.vec_id >= 5
+) WHERE rank <= 3""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: IVF coarse-quantize (centroid per label) → probe 2
+    lists → exact search inside probed lists only."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id", "rank")
+
+
+@query(
+    "embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+)
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on label."""
+    emb = _t(spark, sf, "embeddings")
+    out = DD.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ===========================================================================
+# dedup suite
+# ===========================================================================
+
+_DUPTEXT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'duplicate canonical block ' || source "
+    "ELSE text END"
+)
+
+
+def _duptext_col() -> F.Column:
+    return F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("duplicate canonical block "), F.col("source")),
+    ).otherwise(F.col("text"))
+
+
+@query(
+    "dedup_exact",
+    f"""SELECT md5({_DUPTEXT_SQL}) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep min id — shuffles hashes, not bodies."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _duptext_col().alias("text")
+    )
+    return DD.exact_dedup(docs, "doc_id", "text")
+
+
+_MINHASH_AGGS_SQL = ",\n       ".join(
+    f"min(md5('{i}|' || s)) AS h{i}" for i in range(16)
+)
+
+
+@query(
+    "minhash_signature",
+    f"""WITH {_shingle_sql(3)}
+SELECT id AS doc_id, {_MINHASH_AGGS_SQL}
+FROM (SELECT id, unnest(shs) AS s FROM sh) GROUP BY id""",
+)
+def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (k=16, md5-seeded — reproducible in ANSI SQL)."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signature(docs, "doc_id", "text", k=16)
+    cols = [F.col("sig")[i].alias(f"h{i}") for i in range(16)]
+    return sig.select(F.col("id").alias("doc_id"), *cols)
+
+
+_BANDS_SQL = """
+sig AS (
+  SELECT id, {aggs}
+  FROM (SELECT id, unnest(shs) AS s FROM sh) GROUP BY id
+),
+banded AS (
+  {band_union}
+)
+""".format(
+    aggs=_MINHASH_AGGS_SQL,
+    band_union="\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    ),
+)
+
+
+@query(
+    "lsh_candidates",
+    f"""WITH {_shingle_sql(3)},
+{_BANDS_SQL}
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.id < b.id""",
+)
+def q_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding (4 bands × 4 rows) → candidate pairs."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signature(docs, "doc_id", "text", k=16)
+    return DD.lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+
+
+@query(
+    "minhash_neardup",
+    f"""WITH {_shingle_sql(3)},
+{_BANDS_SQL},
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+             / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1)::DOUBLE, 6) AS jaccard
+FROM cands JOIN sh sa ON sa.id = cands.id_a JOIN sh sb ON sb.id = cands.id_b
+WHERE len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+      / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1)::DOUBLE >= 0.7""",
+)
+def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact Jaccard verify ≥ 0.7."""
+    docs = _t(spark, sf, "documents")
+    return DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@query("simhash_fingerprint")  # bit-level conv() — no clean DuckDB twin; rows-only
+def q_simhash_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """60-bit SimHash fingerprints (built-in expressions, no Python)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", DD.simhash64(F.col("text")).alias("fp"))
+
+
+@query("simhash_neardup")  # rows-only (same conv() reason)
+def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: prefix-blocked, hamming ≤ 16."""
+    docs = _t(spark, sf, "documents")
+    return DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=16)
+
+
+@query(
+    "jaccard_neardup",
+    f"""WITH {_shingle_sql(3)},
+d AS (SELECT doc_id, source FROM documents)
+SELECT da.doc_id AS id_a, db.doc_id AS id_b,
+       round(len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+             / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1)::DOUBLE, 6) AS jaccard
+FROM d da
+JOIN d db ON da.source = db.source AND da.doc_id < db.doc_id
+JOIN sh sa ON sa.id = da.doc_id
+JOIN sh sb ON sb.id = db.doc_id
+WHERE len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+      / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1)::DOUBLE >= 0.1""",
+)
+def q_jaccard_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked on source, τ=0.1."""
+    docs = _t(spark, sf, "documents")
+    return DD.jaccard_neardup_pairs(
+        docs, "doc_id", "text", "source", threshold=0.1
+    )
+
+
+# ===========================================================================
+# text analysis (training-data ops)
+# ===========================================================================
+
+@query(
+    "token_counts",
+    r"""SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+FROM documents""",
+)
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TXT.regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+@query(
+    "quality_scores",
+    r"""WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)::DOUBLE, 6) AS stop_ratio,
+         round(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               / greatest(len(text), 1)::DOUBLE, 6) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_words, stop_ratio, punct_ratio,
+       round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+             + least(stop_ratio * 2, 0.3) + (0.2 - least(punct_ratio * 2, 0.2)), 6) AS quality
+FROM f""",
+)
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count(F.col("text")).alias("n_words"),
+        TXT.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        TXT.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    r"""WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|is|with)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|es|una)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|est|une)\b')) AS c_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+            WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+            WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+            WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM m""",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""WITH {_shingle_sql(5)}
+SELECT id AS doc_id, list_min(list_transform(shs, x -> md5(x))) AS fp
+FROM sh""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TXT.doc_fingerprint(F.col("text"), 5).alias("fp")
+    )
+
+
+@query("hash_embeddings")  # numpy feature hashing — rows-only
+def q_hash_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 replacement: deterministic feature-hash embeddings (pandas UDF)."""
+    docs = _t(spark, sf, "documents")
+    emb = docs.select("doc_id", hash_embedding(F.col("text")).alias("embedding"))
+    return emb.select(
+        "doc_id",
+        F.round(F.col("embedding")[0], 4).alias("d0"),
+        F.round(F.col("embedding")[1], 4).alias("d1"),
+        F.round(F.col("embedding")[2], 4).alias("d2"),
+        F.round(F.col("embedding")[3], 4).alias("d3"),
+    )
+
+
+# ===========================================================================
+# TPC-H-shape relational parity
+# ===========================================================================
+
+@query(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE, 2) AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE, 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg (map-side partial)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") < 50)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_topk",
+    """SELECT o.o_orderkey AS orderkey,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))))::DOUBLE, 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, orderkey LIMIT 10""",
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join chain → agg → top-k."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_volume",
+    """SELECT n.n_name AS nation,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))))::DOUBLE, 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name""",
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with two broadcast dims + co-located key."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# extraction pipeline (rows-only: not SQL-expressible)
+# ===========================================================================
+
+@query("extract_pipeline")
+def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: run the full HTML+PDF extraction over a synthesized pages
+    table keyed by doc_id (deterministic: synth.pages.gen_row)."""
+    from .plans.pipeline import extract_pages
+    from .synth.pages import PAGES_SCHEMA, gen_row
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame([gen_row(int(i)) for i in b["doc_id"]])
+
+    pages = docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+    out = extract_pages(pages, n_splits=16)
+    return out.select("url", "parser", "chunk_count", "source", "text")
