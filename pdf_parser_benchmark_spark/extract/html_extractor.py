@@ -86,6 +86,8 @@ class _BlockParser(HTMLParser):
             self._chrome_depth += 1
         if tag == "a":
             self._link_depth += 1
+        if tag in ("td", "th", "br") and self._cur is not None:
+            self._buf.append(" ")  # cell/line separators inside a block
         if tag in _BLOCK_TAGS and _BLOCK_TAGS[tag] is not None:
             self._flush()
             level = int(tag[1]) if tag[0] == "h" and tag[1].isdigit() else None

@@ -1,0 +1,68 @@
+"""HTML block tokenizer + boilerplate scoring (north_star: text-density /
+link-density heuristics over a node-feature table)."""
+
+from pdf_parser_benchmark_spark.extract.html_extractor import (
+    extract_main_blocks,
+    is_boilerplate,
+    parse_html_blocks,
+)
+
+
+PAGE = """
+<html><head><title>T</title></head><body>
+<header><p>site chrome top</p></header>
+<nav><ul><li><a href="/a">nav one</a></li><li><a href="/b">nav two</a></li></ul></nav>
+<main>
+  <h1>Main Title</h1>
+  <h2>Section One</h2>
+  <p>A real paragraph with plenty of prose content inside it.</p>
+  <p><a href="/x">link</a> <a href="/y">list</a> <a href="/z">of links</a></p>
+  <p>   </p>
+  <ul><li>item one</li><li>item two</li></ul>
+  <table><tr><td>cell a</td><td>cell b</td></tr></table>
+</main>
+<aside><p><a href="/sub">subscribe now</a></p></aside>
+<footer><p>© footer legal line</p></footer>
+</body></html>
+"""
+
+
+def test_chrome_blocks_flagged():
+    blocks = parse_html_blocks(PAGE)
+    chrome = [b.text for b in blocks if b.in_chrome]
+    assert "site chrome top" in chrome
+    assert "© footer legal line" in chrome
+    assert any("nav one" in t for t in chrome)
+
+
+def test_link_density_drops_link_list_keeps_prose():
+    blocks = {b.text: b for b in parse_html_blocks(PAGE)}
+    linky = blocks["link list of links"]
+    prose = blocks["A real paragraph with plenty of prose content inside it."]
+    assert is_boilerplate(linky)
+    assert not is_boilerplate(prose)
+
+
+def test_main_blocks_order_tags_levels():
+    main = extract_main_blocks(PAGE)
+    got = [(b.tag, b.level, b.text) for b in main]
+    assert got == [
+        ("header", 1, "Main Title"),
+        ("header", 2, "Section One"),
+        ("para", None, "A real paragraph with plenty of prose content inside it."),
+        ("list_item", None, "item one"),
+        ("list_item", None, "item two"),
+        ("table_row", None, "cell a cell b"),
+    ]
+
+
+def test_long_link_dense_block_survives():
+    words = " ".join(f"word{i}" for i in range(30))
+    html = f'<main><p><a href="/x">{words}</a></p></main>'
+    blocks = parse_html_blocks(html)
+    assert not is_boilerplate(blocks[0])  # ≥25 words: keep despite links
+
+
+def test_whitespace_only_block_never_emitted():
+    blocks = parse_html_blocks("<p>   </p><p>real</p>")
+    assert [b.text for b in blocks] == ["real"]

@@ -1,0 +1,137 @@
+"""Operator unit tests on Spark with hand-crafted micro-fixtures, pinning
+the reference thresholds/ordering rules independent of the oracle suite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_benchmark_spark.operators.boilerplate import (
+    boilerplate_lines,
+    strip_boilerplate,
+)
+from pdf_parser_benchmark_spark.operators.chunk_types import chunk_type
+from pdf_parser_benchmark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_neardup_pairs,
+)
+from pdf_parser_benchmark_spark.operators.fuzzy_join import fuzzy_match
+from pdf_parser_benchmark_spark.operators.hierarchy import propagate_hierarchy
+
+
+def test_boilerplate_operator_reference_semantics(spark):
+    """Mirror of /root/reference/tests/test_ingest.py:24-43 as DataFrame op."""
+    rows = [
+        ("doc", i, f"HEADER LINE REPEATED\nPage {i} content here\nFOOTER")
+        for i in range(10)
+    ]
+    pages = spark.createDataFrame(rows, "doc string, page int, text string")
+    boiler = {r["line"] for r in boilerplate_lines(pages, "doc", "page", "text").collect()}
+    assert boiler == {"HEADER LINE REPEATED", "FOOTER"}
+    out = strip_boilerplate(pages, "doc", "page", "text").collect()
+    assert len(out) == 10
+    for r in out:
+        assert "HEADER" not in r["clean_text"] and "FOOTER" not in r["clean_text"]
+        assert "content here" in r["clean_text"]
+
+
+def test_boilerplate_operator_thresholds(spark):
+    long_line = "L" * 100
+    rows = [("d", i, f"{long_line}\nEDGE\nuniq {i}") for i in range(4)] + [
+        ("d", i, f"uniq {i}") for i in range(4, 10)
+    ]
+    pages = spark.createDataFrame(rows, "doc string, page int, text string")
+    boiler = {r["line"] for r in boilerplate_lines(pages, "doc", "page", "text").collect()}
+    assert boiler == set()  # EDGE at exactly 40%, long line ≥100 chars
+
+
+def test_chunk_type_order(spark):
+    df = spark.createDataFrame(
+        [("table_row",), ("Sub-Header",), ("para",), ("mystery",)], "tag string"
+    )
+    got = {r["tag"]: r["kind"] for r in df.select("tag", chunk_type(F.col("tag")).alias("kind")).collect()}
+    assert got == {
+        "table_row": "table",
+        "Sub-Header": "title",
+        "para": "body_text",
+        "mystery": "body_text",
+    }
+
+
+def test_hierarchy_window_reset(spark):
+    rows = [
+        ("d", 1, "header", 1, "Ch1"),
+        ("d", 2, "para", None, "p"),
+        ("d", 3, "header", 2, "SecA"),
+        ("d", 4, "para", None, "p"),
+        ("d", 5, "header", None, "Ch2"),  # null level → chapter
+        ("d", 6, "para", None, "p"),
+    ]
+    df = spark.createDataFrame(rows, "doc string, seq int, tag string, level int, text string")
+    out = {r["seq"]: (r["chapter"], r["section"]) for r in propagate_hierarchy(df).collect()}
+    assert out == {
+        1: ("Ch1", None), 2: ("Ch1", None),
+        3: ("Ch1", "SecA"), 4: ("Ch1", "SecA"),
+        5: ("Ch2", None), 6: ("Ch2", None),
+    }
+
+
+def test_fuzzy_match_thresholds_and_greedy(spark):
+    books = spark.createDataFrame(
+        [
+            ("b1", "Learning by Doing (Second Edition)"),
+            ("b2", "Learning by Doing"),  # ambiguous twin of b1's target
+            ("b3", "Totally Different Title"),
+        ],
+        "sku string, title string",
+    )
+    files = spark.createDataFrame(
+        [("learning_by_doing.pdf",), ("totally-different-title.pdf",), ("unrelated_thing.pdf",)],
+        "filename string",
+    )
+    out = {r["bk"]: r for r in fuzzy_match(books, files).collect()}
+    # b1 and b2 normalize to the same string → same best file; greedy claim
+    # gives it to the earlier book, the other is SKIP
+    assert out["b1"]["status"] == "OK"
+    assert out["b2"]["fname"] == out["b1"]["fname"]
+    assert out["b2"]["status"] == "SKIP"
+    assert out["b3"]["status"] == "OK"
+    assert out["b3"]["fname"] == "totally-different-title.pdf"
+
+
+def test_fuzzy_min_score_gate(spark):
+    books = spark.createDataFrame([("b1", "Alpha Beta Gamma")], "sku string, title string")
+    files = spark.createDataFrame([("zzz_qqq_www.pdf",)], "filename string")
+    row = fuzzy_match(books, files).collect()[0]
+    assert row["status"] == "SKIP" and row["score"] < 0.86
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_neardups(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    far = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.7).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.9
+
+
+def test_simhash_neardup(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w3 ", "w3x ")
+    far = " ".join(f"zz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = simhash_neardup_pairs(df, "doc_id", "text", max_hamming=12, prefix_bits=4)
+    got = [(p["id_a"], p["id_b"]) for p in pairs.collect()]
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got

@@ -1,0 +1,54 @@
+"""Full queries() vs oracle_sql() parity at sf0.001 — the same comparison
+the driver runs at sf0.01 (row count, column names, order-insensitive
+values)."""
+
+import duckdb
+import pytest
+
+from pdf_parser_benchmark_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_TEST
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_TEST}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df):
+    import math
+
+    cols = sorted(df.columns)
+    out = []
+    for r in df.to_dict("records"):
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 4)
+            vals.append(v)
+        out.append(tuple(vals))
+    return cols, sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, con):
+    sdf = QUERIES[name](spark, SF_TEST).toPandas()
+    if name not in ORACLES:
+        assert len(sdf) > 0, f"{name}: rows-only query returned no rows"
+        return
+    odf = con.sql(ORACLES[name]).df()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows

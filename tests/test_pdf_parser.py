@@ -1,0 +1,116 @@
+"""From-scratch PDF parser vs from-scratch writer round trips.
+
+The writer emits a controlled but spec-faithful PDF subset
+(synth/pdf_writer.py); these tests pin the parser's structure handling:
+xref/objects, FlateDecode, ToUnicode CMap, text operators, XY-cut reading
+order, rotation detection (reference semantics
+/root/reference/src/ingest.py:47-54).
+"""
+
+from pdf_parser_benchmark_spark.extract.pdf_parser import (
+    is_pdf,
+    parse_pdf,
+    parse_tounicode,
+)
+from pdf_parser_benchmark_spark.synth.pdf_writer import (
+    PageSpec,
+    TextItem,
+    build_pdf,
+    lines_page,
+    two_column_page,
+)
+
+
+def _texts(page):
+    return [b.text() for b in page.blocks]
+
+
+def test_is_pdf_magic():
+    assert is_pdf(b"%PDF-1.4\n...")
+    assert not is_pdf(b"<html></html>")
+
+
+def test_single_page_lines_and_order():
+    pdf = build_pdf([lines_page(["alpha one", "beta two"], heading="Head")])
+    pages = parse_pdf(pdf)
+    assert len(pages) == 1
+    blocks = pages[0].blocks
+    assert blocks[0].lines == ["Head"] and blocks[0].max_size == 18
+    assert blocks[1].lines == ["alpha one", "beta two"]
+
+
+def test_flate_and_uncompressed_equal():
+    a = parse_pdf(build_pdf([lines_page(["same text"], compress=True)]))
+    b = parse_pdf(build_pdf([lines_page(["same text"], compress=False)]))
+    assert _texts(a[0]) == _texts(b[0])
+
+
+def test_tj_array_and_tm_positioning():
+    pdf = build_pdf(
+        [
+            lines_page(["part one part two"], use_tj_array=True),
+            lines_page(["tm line"], use_tm=True),
+        ]
+    )
+    pages = parse_pdf(pdf)
+    assert _texts(pages[0]) == ["part one part two"]
+    assert _texts(pages[1]) == ["tm line"]
+
+
+def test_tounicode_cmap_decodes_non_ascii():
+    pdf = build_pdf([lines_page(["café Ω x"], font="F2")])
+    pages = parse_pdf(pdf)
+    assert _texts(pages[0]) == ["café Ω x"]
+
+
+def test_bfrange_parsing():
+    cmap = b"""
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<41> <43> <0061>
+endbfrange
+"""
+    table = parse_tounicode(cmap)
+    assert table[0x41] == "a" and table[0x42] == "b" and table[0x43] == "c"
+
+
+def test_rotation_detected():
+    pdf = build_pdf(
+        [lines_page(["portrait"]), lines_page(["landscape"], rotate=90),
+         lines_page(["landscape2"], rotate=270)]
+    )
+    pages = parse_pdf(pdf)
+    assert [p.rotation for p in pages] == [0, 90, 270]
+    # rotated pages still decode text
+    assert _texts(pages[1]) == ["landscape"]
+    assert _texts(pages[2]) == ["landscape2"]
+
+
+def test_two_column_xy_cut_reading_order():
+    pdf = build_pdf(
+        [two_column_page(["L1", "L2", "L3"], ["R1", "R2"], header="HDR")]
+    )
+    page = parse_pdf(pdf)[0]
+    assert _texts(page) == ["HDR", "L1\nL2\nL3", "R1\nR2"]
+
+
+def test_header_footer_separate_blocks():
+    pdf = build_pdf(
+        [lines_page(["body a", "body b"], header="TOP", footer="BOTTOM")]
+    )
+    page = parse_pdf(pdf)[0]
+    assert _texts(page) == ["TOP", "body a\nbody b", "BOTTOM"]
+
+
+def test_escaped_parens_in_string():
+    pdf = build_pdf([lines_page(["with (parens) and \\ backslash"])])
+    assert _texts(parse_pdf(pdf)[0]) == ["with (parens) and \\ backslash"]
+
+
+def test_multi_content_and_page_count():
+    specs = [lines_page([f"page {i} body"]) for i in range(6)]
+    pages = parse_pdf(build_pdf(specs))
+    assert len(pages) == 6
+    assert _texts(pages[4]) == ["page 4 body"]

@@ -1,0 +1,106 @@
+"""Distributed pipeline properties: partitioning invariance, crash-resume
+byte identity, lineage counters, golden parity of the Spark path vs the
+pure-Python extractor (same bytes through mapInPandas)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_benchmark_spark.plans.pipeline import extract_pages, run_pipeline
+from pdf_parser_benchmark_spark.sources.lineage import lineage_counters
+from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+N_ROWS = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages_df(spark, N_ROWS, partitions=4)
+
+
+def _canon_map(df):
+    return {
+        r["url"]: r["canonical"]
+        for r in df.select("url", "canonical").collect()
+    }
+
+
+def test_extract_counts_and_no_errors(spark, pages):
+    out = extract_pages(pages, n_splits=8, n_tasks=8).cache()
+    assert out.count() == N_ROWS
+    assert out.filter(F.col("error").isNotNull()).count() == 0
+    parsers = {r["parser"] for r in out.select("parser").distinct().collect()}
+    assert parsers == {"html", "pdf"}
+    out.unpersist()
+
+
+def test_partitioning_invariance(spark, pages):
+    """Same input at different parallelism ⇒ identical bytes per url."""
+    a = _canon_map(extract_pages(pages, n_splits=8, n_tasks=2))
+    b = _canon_map(extract_pages(pages.repartition(13), n_splits=8, n_tasks=8))
+    assert a == b
+
+
+def test_spark_path_matches_pure_python(spark, pages):
+    """mapInPandas output == driver-side extract_document_json bytes."""
+    from pdf_parser_benchmark_spark.extract.assemble import extract_document_json
+    from pdf_parser_benchmark_spark.synth.pages import gen_row
+
+    got = _canon_map(extract_pages(pages, n_splits=8))
+    for rid in (0, 3, 5, 42):
+        row = gen_row(rid)
+        assert got[row["url"]] == extract_document_json(row["url"], row["html"])
+
+
+def test_crash_resume_byte_identity(spark, pages, tmp_path):
+    out_a, mani_a = str(tmp_path / "outA"), str(tmp_path / "maniA")
+    out_b, mani_b = str(tmp_path / "outB"), str(tmp_path / "maniB")
+
+    run_pipeline(spark, pages, out_a, mani_a, n_splits=8, commit_batches=4)
+    fa = _canon_map(spark.read.parquet(out_a))
+
+    r1 = run_pipeline(
+        spark, pages, out_b, mani_b, n_splits=8, commit_batches=4,
+        fail_after_batches=2,
+    )
+    assert 0 < r1["splits_done"] < 8
+    r2 = run_pipeline(spark, pages, out_b, mani_b, n_splits=8, commit_batches=4)
+    assert r1["splits_done"] + r2["splits_done"] == 8
+    fb = _canon_map(spark.read.parquet(out_b))
+    assert fa == fb
+
+    r3 = run_pipeline(spark, pages, out_b, mani_b, n_splits=8)
+    assert r3["splits_done"] == 0  # idempotent noop
+
+
+def test_lineage_counters(spark, pages):
+    out = extract_pages(pages, n_splits=8)
+    lin = lineage_counters(out).collect()
+    assert sum(r["docs_out"] for r in lin) == N_ROWS
+    assert sum(r["docs_err"] for r in lin) == 0
+    assert all(r["bytes_in"] > 0 for r in lin)
+    assert sum(r["html_docs"] + r["pdf_docs"] for r in lin) == N_ROWS
+
+
+def test_poison_document_isolated(spark):
+    """A malformed payload must produce an error row, not kill the task
+    (reference precedent: per-book continue-on-error, ingest.py:162-165)."""
+    import pandas as pd
+
+    rows = [
+        {"url": "https://h.example/ok.html", "warc_ts": pd.Timestamp("2026-01-01"),
+         "html": b"<main><p>fine</p></main>", "text": None, "lang": "en"},
+        {"url": "https://h.example/bad.pdf", "warc_ts": pd.Timestamp("2026-01-01"),
+         "html": b"%PDF-1.4 garbage without structure", "text": None, "lang": "en"},
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(pages, n_splits=2).collect()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["https://h.example/ok.html"]["error"] is None
+    bad = by_url["https://h.example/bad.pdf"]
+    # bad pdf either errors or yields an empty parse — never crashes the job
+    assert bad["error"] is not None or bad["chunk_count"] == 0
