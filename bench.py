@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extraction throughput extras}
+
+The flagship `extract` entry measures the full HTML+PDF extraction pipeline
+over a pre-materialized synthetic pages corpus (parquet, generated once per
+sf and reused), so the number is read→extract→count throughput, not
+generator cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# ~rows of the synthetic pages corpus per sf (≈10% PDFs of 4-8 pages each)
+PAGES_PER_SF = {"0.001": 200, "0.01": 1000, "0.1": 6000}
+
+HEADLINE = [
+    "boilerplate_strip",
+    "minhash_neardup",
+    "dedup_exact",
+    "knn_join",
+    "ann_ivf_topk",
+    "hierarchy_propagation",
+    "sessionize",
+    "windowed_event_counts",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+]
+
+
+def _sf_of(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def ensure_pages_corpus(spark, sf: str, n_rows: int) -> str:
+    """Materialize the deterministic pages corpus once per sf (parquet)."""
+    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+    path = f"/tmp/spark_graft_pages_sf{sf}_{n_rows}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_pages_df(spark, n_rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from pdf_parser_benchmark_spark.session import get_spark
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+    from pdf_parser_benchmark_spark.queries import QUERIES
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(
+        app_name="bench",
+        cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    n_rows = PAGES_PER_SF.get(sf, 2000)
+    corpus = ensure_pages_corpus(spark, sf, n_rows)
+
+    timings: dict[str, float] = {}
+
+    # flagship: full extraction (read parquet → mapInPandas extract → count)
+    pages = spark.read.parquet(corpus)
+    bytes_in = pages.agg(F.sum(F.length("html"))).collect()[0][0]
+    extract_pages(pages, n_splits=64, n_tasks=CPUS).count()  # warm JVM+Python
+    t0 = time.monotonic()
+    extracted = extract_pages(pages, n_splits=64, n_tasks=CPUS)
+    n_docs = extracted.count()
+    t_extract = time.monotonic() - t0
+    timings["extract"] = round(t_extract, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (extract + 10 operators)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": round(n_docs / t_extract, 1),
+                "extract_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,54 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         yield pd.DataFrame(out)
 
 
+SLIM_SCHEMA = (
+    "url string, parser string, chunk_count int, n_bytes_in bigint, "
+    "error string, split_id int, fp string"
+)
+
+
+def _extract_batches_slim(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Benchmark/fingerprint variant: same extraction, but the canonical
+    bytes are hashed (md5) worker-side and only slim columns cross the
+    Arrow channel — separates extraction throughput from result-transfer
+    volume in scaling measurements."""
+    import hashlib
+
+    import pandas as pd
+
+    for b in batches:
+        out: list[dict] = []
+        for url, payload, split_id in zip(b["url"], b["html"], b["split_id"]):
+            row: dict = {
+                "url": url,
+                "parser": None,
+                "chunk_count": None,
+                "n_bytes_in": len(payload) if payload is not None else 0,
+                "error": None,
+                "split_id": int(split_id),
+                "fp": None,
+            }
+            try:
+                payload = bytes(payload) if payload is not None else b""
+                rec = extract_document(url, payload)
+                canon = encode_doc(rec["url"], rec["text"], rec["spans"], rec["meta"])
+                row.update(
+                    parser=rec["meta"]["parser"],
+                    chunk_count=rec["meta"]["chunk_count"],
+                    fp=hashlib.md5(canon.encode("utf-8")).hexdigest(),
+                )
+            except Exception as e:
+                row["error"] = f"{type(e).__name__}: {e}"[:500]
+            out.append(row)
+        yield pd.DataFrame(out)
+
+
+def extract_pages_slim(pages: DataFrame, n_splits: int = 64) -> DataFrame:
+    """Zero-shuffle slim extraction (url + md5-of-canonical only)."""
+    df = ckpt.with_split_id(pages, n_splits)
+    return df.mapInPandas(_extract_batches_slim, schema=SLIM_SCHEMA)
+
+
 def salted_host_key(url_col: str = "url", salt_buckets: int = 16):
     """Host-colocated partition key with hot-host splitting:
     concat(host, pmod(xxhash64(url), S))."""
@@ -103,12 +151,22 @@ def extract_pages(
     n_tasks: int | None = None,
     partition_by_host: bool = False,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → extracted DF (no I/O)."""
-    spark = pages.sparkSession
-    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    """pages(url, warc_ts, html, text, lang) → extracted DF (no I/O).
+
+    Extraction is embarrassingly parallel, so the DEFAULT (n_tasks=None) is
+    zero-shuffle: task granularity comes from input splits
+    (`spark.sql.files.maxPartitionBytes` — size it so a task holds a few MB
+    of payload; small splits double as skew insurance since per-doc cost
+    varies ~12× between HTML and PDF). Pass n_tasks to force a repartition
+    — needed when the source is a few huge unsplittable files or when
+    host-colocation with hot-host salting (`partition_by_host`) is wanted.
+    """
     df = ckpt.with_split_id(pages, n_splits)
-    key = salted_host_key() if partition_by_host else F.xxhash64("url")
-    df = df.repartition(n_tasks, key)
+    if n_tasks is not None or partition_by_host:
+        spark = pages.sparkSession
+        n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+        key = salted_host_key() if partition_by_host else F.xxhash64("url")
+        df = df.repartition(n_tasks, key)
     return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 

@@ -1,0 +1,120 @@
+"""Streaming twins of the batch pipeline stages.
+
+- stream_extract: continuous ingestion — readStream over the input-table
+  directory → the SAME mapInPandas extraction used by plans/pipeline.py →
+  parquet sink with checkpointing. Stateless, so exactly-once comes from
+  the sink+checkpoint contract; resume is Spark's own offset log (the batch
+  path's split-manifest is the backfill analog).
+- windowed_counts: tumbling-window counters with a watermark for late data
+  (the streaming twin of queries.windowed_event_counts).
+- sessionize_stateful: applyInPandasWithState custom stateful operator —
+  per-user running session assignment with a 30-minute idle timeout,
+  mirroring the batch sessionize query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..plans.pipeline import EXTRACTED_SCHEMA, _extract_batches
+from ..sources.checkpoint import with_split_id
+from ..synth.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_splits: int = 64,
+):
+    """Start (availableNow) the streaming extraction; returns the query."""
+    pages = read_pages_stream(spark, input_dir)
+    extracted = with_split_id(pages, n_splits).mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+    return (
+        extracted.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .start()
+    )
+
+
+def windowed_counts(events_stream: DataFrame) -> DataFrame:
+    """Tumbling 1h counts with 2h watermark (late data dropped past it)."""
+    # parquet TIMESTAMP_NTZ → TIMESTAMP: watermarks need an ltz event time
+    events_stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_tsec", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, session_id bigint"
+)
+
+SESSION_GAP_SEC = 1800
+
+
+def _assign_sessions(
+    key: Tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running gap-based session ids per user."""
+    if state.exists:
+        last_tsec, session_id = state.get
+    else:
+        last_tsec, session_id = None, 0
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["tsec", "event_id"])
+        for _, row in pdf.iterrows():
+            t = int(row["tsec"])
+            if last_tsec is None or t - last_tsec > SESSION_GAP_SEC:
+                session_id += 1
+            last_tsec = t
+            out.append((int(row["user_id"]), int(row["event_id"]), session_id))
+    state.update((last_tsec, session_id))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "session_id"])
+
+
+def sessionize_stateful(events_stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization (streaming stateful twin of the
+    batch window-based sessionize query)."""
+    ev = events_stream.select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("bigint").alias("tsec")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _assign_sessions,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming: extraction stream matches batch bytes, watermark
+windowed agg, applyInPandasWithState sessionization vs the batch window
+query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_benchmark_spark.streaming.ingest_stream import (
+    sessionize_stateful,
+    stream_extract,
+    windowed_counts,
+)
+from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_in"))
+    generate_pages_df(spark, 60, partitions=3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_extract_matches_batch(spark, pages_dir, tmp_path):
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(spark, pages_dir, out_dir, ckpt, n_splits=8)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["url"]: r["canonical"]
+        for r in spark.read.parquet(out_dir).select("url", "canonical").collect()
+    }
+    batch = {
+        r["url"]: r["canonical"]
+        for r in extract_pages(spark.read.parquet(pages_dir), n_splits=8)
+        .select("url", "canonical")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
+    # stream the events table through a file source
+    ev_dir = str(tmp_path / "ev")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(ev_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema
+    ).parquet(ev_dir)
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # batch oracle (same expression, no watermark cutoff matters: availableNow
+    # processes everything, append emits windows older than the watermark)
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(ev_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert got  # emitted at least the closed windows
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path):
+    from pdf_parser_benchmark_spark.queries import QUERIES
+
+    ev_dir = str(tmp_path / "ev2")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(ev_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema
+    ).parquet(ev_dir)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["event_id"]: r["session_id"]
+        for r in spark.sql("select * from sess").collect()
+    }
+    batch = {
+        r["event_id"]: r["session_id"]
+        for r in QUERIES["sessionize"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
