@@ -192,7 +192,6 @@ def run_pipeline(
     df = ckpt.with_split_id(pages, n_splits)
     if resume:
         df = ckpt.filter_resumable(df, spark, manifest_dir)
-    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
 
     remaining = sorted(
         r["split_id"] for r in df.select("split_id").distinct().collect()
@@ -210,7 +209,8 @@ def run_pipeline(
         if fail_after_batches is not None and bi >= fail_after_batches:
             break  # simulated crash: manifest only covers committed batches
         part = df.filter(F.col("split_id").isin(split_batch))
-        part = part.repartition(n_tasks, F.xxhash64("url"))
+        if n_tasks is not None:  # else zero-shuffle: input-split granularity
+            part = part.repartition(n_tasks, F.xxhash64("url"))
         extracted = part.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
         write_extracted(extracted, output_dir)  # dynamic overwrite by split
         batch_written = spark.read.parquet(output_dir).filter(
