@@ -81,15 +81,17 @@ def _content_stream(page: PageSpec) -> bytes:
     """Emit the page's text via a mix of positioning operators, so the parser
     must implement Td/TD/Tm/T*/Tj/TJ rather than pattern-match one shape."""
     out: list[str] = []
-    for i, it in enumerate(page.items):
-        raw = _encode_f2(it.text) if it.font == "F2" else it.text.encode("latin-1", "replace").decode("latin-1")
+
+    def _lit(it: TextItem, text: str) -> str:
         if it.font == "F2":
-            lit = "".join(
-                ch if 0x20 <= b <= 0x7E and ch not in "\\()" else f"\\{b:03o}"
-                for b, ch in ((b, chr(b)) for b in raw)
+            raw = _encode_f2(text)
+            return "".join(
+                chr(b) if 0x20 <= b <= 0x7E and chr(b) not in "\\()" else f"\\{b:03o}"
+                for b in raw
             )
-        else:
-            lit = _esc(raw)
+        return _esc(text.encode("latin-1", "replace").decode("latin-1"))
+
+    for i, it in enumerate(page.items):
         out.append("BT")
         out.append(f"/{it.font} {it.size:g} Tf")
         if page.use_tm:
@@ -102,10 +104,12 @@ def _content_stream(page: PageSpec) -> bytes:
         else:
             out.append(f"{it.x:g} {it.y:g} Td")
         if page.use_tj_array:
-            half = max(1, len(lit) // 2)
-            out.append(f"[({lit[:half]}) -20 ({lit[half:]})] TJ")
+            # split the TEXT (not the escaped literal — escapes must not be
+            # cut mid-sequence), escape each part independently
+            half = max(1, len(it.text) // 2)
+            out.append(f"[({_lit(it, it.text[:half])}) -20 ({_lit(it, it.text[half:])})] TJ")
         else:
-            out.append(f"({lit}) Tj")
+            out.append(f"({_lit(it, it.text)}) Tj")
         out.append("ET")
     return "\n".join(out).encode("latin-1")
 

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: filters reach the parquet scan, small dims
+broadcast, the extraction plan is shuffle-free, whole-stage codegen covers
+the relational queries. These pin the *plan shape* that makes the 100 TB
+story true, not just the small-scale results."""
+
+from pyspark.sql import functions as F
+
+from pdf_parser_benchmark_spark.queries import QUERIES
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_metadata_filter_pushdown(spark, sf_dir):
+    plan = _plan(QUERIES["metadata_filter"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    # the lang equality must be pushed into the scan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = QUERIES["distinct_sources"](spark, sf_dir)
+    plan = _plan(df)
+    start = plan.find("ReadSchema")
+    read_schema = plan[start : plan.find("\n", start)]
+    assert "source" in read_schema and "text" not in read_schema
+
+
+def test_equi_join_broadcasts_dim(spark, sf_dir):
+    plan = _plan(QUERIES["manifest_equi_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["anti_join_resume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_extraction_plan_is_shuffle_free(spark):
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+    pages = generate_pages_df(spark, 10, partitions=2)
+    # generator source (Range → mapInPandas) — no Exchange anywhere
+    plan = _plan(extract_pages(pages, n_splits=8))
+    assert "Exchange" not in plan
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine before the exchange: only pre-aggregated rows
+    shuffle (the 100 TB property). Codegen spans aren't labeled in AQE's
+    pre-execution formatted plan, so we assert the partial/final split."""
+    plan = _plan(QUERIES["tpch_q1_pricing"](spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine present
+    assert "Exchange" in plan  # …and it feeds the single agg exchange
+
+
+def test_tpch_q1_filter_pushed(spark, sf_dir):
+    plan = _plan(QUERIES["tpch_q1_pricing"](spark, sf_dir))
+    compact = plan.replace(" ", "")
+    assert "PushedFilters:[IsNotNull(l_quantity),LessThan(l_quantity" in compact
+
+
+def test_lineage_uses_partial_aggregation(spark):
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+    from pdf_parser_benchmark_spark.sources.lineage import lineage_counters
+    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+    pages = generate_pages_df(spark, 10, partitions=2)
+    plan = _plan(lineage_counters(extract_pages(pages, n_splits=8)))
+    assert plan.count("HashAggregate") >= 2  # partial + final
