@@ -1131,6 +1131,94 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "excerpts",
+    """SELECT doc_id, substr(text, 1, 300) AS excerpt, substr(text, 1, 50) AS short_title
+FROM documents""",
+)
+def q_excerpts(spark: SparkSession, sf: str) -> DataFrame:
+    """O5 truncations (/root/reference/src/rag.py:174, chat.py:57)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.excerpt(F.col("text"), 300).alias("excerpt"),
+        TXT.excerpt(F.col("text"), 50).alias("short_title"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (engine breadth; no reference
+    counterpart — SURVEY §2.4 marks grouping sets absent)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "pivot_status_qty",
+    """SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_pivot_status_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT on linestatus (oracle via conditional aggregation)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@query(
+    "count_distinct_orders",
+    """SELECT o_custkey AS custkey, count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) > 3""",
+)
+def q_count_distinct_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT DISTINCT + HAVING (distinct-agg shape)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 3)
+    )
+
+
+@query(
+    "median_value_by_type",
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type""",
+)
+def q_median_value_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated median (percentile ≡ DuckDB quantile_cont)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value")
+    )
+
+
 # ===========================================================================
 # extraction pipeline (rows-only: not SQL-expressible)
 # ===========================================================================
