@@ -54,13 +54,20 @@ def minhash_signature(
     k: int = 16,
     shingle_k: int = 3,
     hash_fn: str = "md5",
+    dedup_shingles: bool = False,
 ) -> DataFrame:
     """→ (id, sig array<string> of length k): sig[i] = min(hash(i||shingle)).
 
     hash_fn='md5' keeps every stage reproducible in ANSI SQL (the DuckDB
     oracle); hash_fn='xxhash64' is the production path — one cheap 64-bit
     hash per (seed, shingle) instead of a full MD5, ~4× faster at identical
-    statistical quality (uniform min-hash either way)."""
+    statistical quality (uniform min-hash either way).
+
+    dedup_shingles=True hashes each DISTINCT shingle once (k hashes) and
+    joins back — identical results, big win when the shingle vocabulary is
+    much smaller than the exploded rows (template-heavy/boilerplate-heavy
+    corpora); skip it when shingles are mostly unique (the join shuffle
+    would outweigh the saved hashing)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
     )
@@ -70,8 +77,16 @@ def minhash_signature(
         hcol = lambda i: F.lpad(
             F.hex(F.xxhash64(F.lit(i), F.col("sh"))), 16, "0"
         )
-    aggs = [F.min(hcol(i)).alias(f"h{i}") for i in range(k)]
-    sig = sh.groupBy("id").agg(*aggs)
+    if dedup_shingles:
+        hashed = sh.select("sh").distinct().select(
+            "sh", *[hcol(i).alias(f"hh{i}") for i in range(k)]
+        )
+        joined = sh.join(hashed, "sh")
+        aggs = [F.min(F.col(f"hh{i}")).alias(f"h{i}") for i in range(k)]
+        sig = joined.groupBy("id").agg(*aggs)
+    else:
+        aggs = [F.min(hcol(i)).alias(f"h{i}") for i in range(k)]
+        sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
@@ -119,9 +134,13 @@ def minhash_dedup_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    dedup_shingles: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ t."""
-    sig = minhash_signature(df, id_col, text_col, k=k, shingle_k=shingle_k)
+    sig = minhash_signature(
+        df, id_col, text_col, k=k, shingle_k=shingle_k,
+        dedup_shingles=dedup_shingles,
+    )
     cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=k // bands)
     docs = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
