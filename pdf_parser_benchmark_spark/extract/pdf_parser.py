@@ -586,19 +586,23 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
     """bytes → pages of reading-ordered text blocks."""
     doc = PdfDocument(data)
     pages: list[ParsedPage] = []
+    font_cache: dict[int, Font] = {}  # CMaps parsed once per font object
     for idx, pdict in enumerate(doc.pages()):
         rotation = int(doc.resolve(pdict.get("/Rotate")) or 0) % 360
         fonts: dict[str, Font] = {}
         res = doc.resolve(pdict.get("/Resources")) or {}
         fdict = doc.resolve(res.get("/Font")) or {}
         for name, fref in fdict.items():
-            fobj = doc.resolve(fref)
-            cmap = None
-            if isinstance(fobj, dict) and "/ToUnicode" in fobj:
-                cm = doc.resolve(fobj["/ToUnicode"])
-                if isinstance(cm, _Stream):
-                    cmap = parse_tounicode(doc.stream_data(cm))
-            fonts[name.lstrip("/")] = Font(cmap)
+            key = int(fref) if isinstance(fref, Ref) else id(fref)
+            if key not in font_cache:
+                fobj = doc.resolve(fref)
+                cmap = None
+                if isinstance(fobj, dict) and "/ToUnicode" in fobj:
+                    cm = doc.resolve(fobj["/ToUnicode"])
+                    if isinstance(cm, _Stream):
+                        cmap = parse_tounicode(doc.stream_data(cm))
+                font_cache[key] = Font(cmap)
+            fonts[name.lstrip("/")] = font_cache[key]
         contents = doc.resolve(pdict.get("/Contents"))
         streams = contents if isinstance(contents, list) else [contents]
         data_parts = []

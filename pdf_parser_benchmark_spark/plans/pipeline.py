@@ -50,41 +50,39 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
     per-book continue-on-error, /root/reference/src/ingest.py:154-165)."""
     import pandas as pd
 
+    cols = (
+        "url", "warc_ts", "lang", "text", "spans", "chunk_count",
+        "parser", "source", "canonical", "n_bytes_in", "error", "split_id",
+    )
     for b in batches:
-        out: list[dict] = []
+        out: dict[str, list] = {c: [] for c in cols}
         for url, ts, payload, lang, split_id in zip(
             b["url"], b["warc_ts"], b["html"], b["lang"], b["split_id"]
         ):
-            row: dict = {
-                "url": url,
-                "warc_ts": ts,
-                "lang": lang,
-                "n_bytes_in": len(payload) if payload is not None else 0,
-                "split_id": int(split_id),
-                "error": None,
-                "text": None,
-                "spans": None,
-                "chunk_count": None,
-                "parser": None,
-                "source": None,
-                "canonical": None,
-            }
+            text = spans = chunk_count = parser = source = canonical = error = None
             try:
                 payload = bytes(payload) if payload is not None else b""
                 rec = extract_document(url, payload)
-                row.update(
-                    text=rec["text"],
-                    spans=rec["spans"],
-                    chunk_count=rec["meta"]["chunk_count"],
-                    parser=rec["meta"]["parser"],
-                    source=rec["meta"]["source"],
-                    canonical=encode_doc(
-                        rec["url"], rec["text"], rec["spans"], rec["meta"]
-                    ),
+                text, spans = rec["text"], rec["spans"]
+                meta = rec["meta"]
+                chunk_count, parser, source = (
+                    meta["chunk_count"], meta["parser"], meta["source"],
                 )
+                canonical = encode_doc(rec["url"], text, spans, meta)
             except Exception as e:  # poison document
-                row["error"] = f"{type(e).__name__}: {e}"[:500]
-            out.append(row)
+                error = f"{type(e).__name__}: {e}"[:500]
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["lang"].append(lang)
+            out["text"].append(text)
+            out["spans"].append(spans)
+            out["chunk_count"].append(chunk_count)
+            out["parser"].append(parser)
+            out["source"].append(source)
+            out["canonical"].append(canonical)
+            out["n_bytes_in"].append(len(payload) if payload is not None else 0)
+            out["error"].append(error)
+            out["split_id"].append(int(split_id))
         yield pd.DataFrame(out)
 
 
