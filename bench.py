@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# ~rows of the synthetic pages corpus per sf (≈10% PDFs of 4-8 pages each)
-PAGES_PER_SF = {"0.001": 200, "0.01": 1000, "0.1": 6000}
+# ~rows of the synthetic pages corpus per sf (≈10% PDFs of 4-8 pages each);
+# sized so the timed extract run is past fixed-overhead territory
+PAGES_PER_SF = {"0.001": 400, "0.01": 4000, "0.1": 24000}
 
 HEADLINE = [
     "boilerplate_strip",
