@@ -768,6 +768,53 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "adaptive_retry_topk",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+f AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS rank
+    FROM embeddings WHERE vec_id > 0 AND label = 3
+  ) WHERE rank <= 5
+),
+u AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS rank
+    FROM embeddings WHERE vec_id > 0
+  ) WHERE rank <= 5
+),
+n AS (SELECT count(*) AS c FROM f)
+SELECT vec_id, rank, FALSE AS retried FROM f WHERE (SELECT c FROM n) >= 3
+UNION ALL
+SELECT vec_id, rank, TRUE AS retried FROM u WHERE (SELECT c FROM n) < 3""",
+)
+def q_adaptive_retry_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive retry-unfiltered rule (/root/reference/src/rag.py:201-207):
+    if the metadata-filtered retrieval returns < 3 sources, re-query without
+    filters — expressed declaratively (both branches planned, the count
+    picks one) rather than as a driver-side conditional."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    filtered = brute_force_topk(
+        queries, emb.filter((F.col("vec_id") > 0) & (F.col("label") == 3)), k=5
+    ).select("vec_id", "rank")
+    unfiltered = brute_force_topk(
+        queries, emb.filter(F.col("vec_id") > 0), k=5
+    ).select("vec_id", "rank")
+    n = filtered.agg(F.count("*").alias("c"))
+    f_b = filtered.crossJoin(F.broadcast(n)).filter(F.col("c") >= 3).select(
+        "vec_id", "rank", F.lit(False).alias("retried")
+    )
+    u_b = unfiltered.crossJoin(F.broadcast(n)).filter(F.col("c") < 3).select(
+        "vec_id", "rank", F.lit(True).alias("retried")
+    )
+    return f_b.unionByName(u_b)
+
+
+@query(
     "embedding_neardup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
