@@ -29,7 +29,7 @@ from .operators import dedup as DD
 from .operators.chunk_types import chunk_type, chunk_type_sql_case
 from .operators.fuzzy_join import fuzzy_match
 from .operators.hierarchy import propagate_hierarchy
-from .operators.knn import brute_force_topk, ivf_topk
+from .operators.knn import brute_force_topk, ivf_topk, ivf_topk_kmeans
 from .operators.topk import top_k_per_group
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -765,6 +765,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id", "rank")
+
+
+@query("ann_ivf_kmeans_topk")  # iterative algorithm — rows-only (numpy twin in tests)
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with a REAL k-means coarse quantizer (deterministic Lloyd's as
+    DataFrame iterations; pinned against a numpy twin in test_kmeans.py)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return ivf_topk_kmeans(
+        queries, corpus, k=3, nprobe=2, n_lists=4, iterations=3
+    ).select("qid", "vec_id", "rank")
 
 
 @query(

@@ -1,0 +1,75 @@
+"""Deterministic k-means (IVF coarse quantizer) vs an independent numpy
+twin implementing the identical algorithm (same init, same tie-breaks, same
+per-iteration rounding)."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_benchmark_spark.operators.knn import ivf_topk_kmeans, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 80"
+    )
+
+
+def _numpy_kmeans(ids, vecs, k, iterations):
+    order = np.argsort(ids)
+    init_idx = order[:k]
+    cents = [np.round(vecs[i].astype(np.float64), 6) for i in init_idx]
+
+    def assign(cents):
+        out = {}
+        for i, v in zip(ids, vecs):
+            d2 = [round(float(((v.astype(np.float64) - c) ** 2).sum()), 9) for c in cents]
+            out[int(i)] = int(np.lexsort((np.arange(k), d2))[0])
+        return out
+
+    for _ in range(iterations):
+        a = assign(cents)
+        for cid in range(k):
+            members = [v for i, v in zip(ids, vecs) if a[int(i)] == cid]
+            if members:
+                m = np.mean(np.array(members, dtype=np.float64), axis=0)
+                cents[cid] = np.round(m, 6)
+    return assign(cents), cents
+
+
+def test_kmeans_matches_numpy_twin(spark, emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+
+    assignment = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_fit(emb, "vec_id", "embedding", k=4, iterations=3).collect()
+    }
+    np_assign, np_cents = _numpy_kmeans(ids, vecs, k=4, iterations=3)
+    assert assignment == np_assign
+
+    spark_cents = dict(kmeans_fit.last_centroids)
+    for cid in range(4):
+        assert np.allclose(spark_cents[cid], np_cents[cid], atol=2e-6)
+
+
+def test_kmeans_deterministic_across_partitionings(spark, emb):
+    a = {r["vec_id"]: r["cid"]
+         for r in kmeans_fit(emb.repartition(2), k=4, iterations=3).collect()}
+    b = {r["vec_id"]: r["cid"]
+         for r in kmeans_fit(emb.repartition(7), k=4, iterations=3).collect()}
+    assert a == b
+
+
+def test_ivf_kmeans_topk_subset_of_bruteforce_corpus(spark, emb):
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter("vec_id >= 2")
+    out = ivf_topk_kmeans(queries, corpus, k=3, nprobe=2, n_lists=4).collect()
+    assert len(out) == 6  # 2 queries × top-3
+    for r in out:
+        assert r["vec_id"] >= 2 and 1 <= r["rank"] <= 3

@@ -41,6 +41,32 @@ def test_stream_extract_matches_batch(spark, pages_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_resume_processes_only_new_files(spark, pages_dir, tmp_path):
+    """Streaming twin of the batch checkpoint-resume property: with the same
+    checkpointLocation, a second availableNow run picks up ONLY files added
+    since the first run (Spark's offset log = the manifest analog)."""
+    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages_df(spark, 30, partitions=2).write.mode("overwrite").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out_dir, ckpt, n_splits=8)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 30
+
+    # append 20 more rows as new files; resume from the same checkpoint
+    generate_pages_df(spark, 50, partitions=2).filter("url > ''").exceptAll(
+        spark.read.parquet(in_dir)
+    ).write.mode("append").parquet(in_dir)
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, n_splits=8)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50
+    assert out.select("url").distinct().count() == 50
+
+
 def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     # stream the events table through a file source
     ev_dir = str(tmp_path / "ev")
