@@ -15,7 +15,9 @@ is applied verbatim downstream (operators/chunk_types.py).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 # HTML tag → llmsherpa-style chunk tag
@@ -113,12 +115,98 @@ class _BlockParser(HTMLParser):
                 self._link_buf_chars += len(" ".join(data.split()))
 
 
-def parse_html_blocks(html: str) -> list[HtmlBlock]:
-    """Tokenize a page into the flat block-feature table (document order)."""
+def parse_html_blocks_stdlib(html: str) -> list[HtmlBlock]:
+    """Reference tokenizer: stdlib html.parser driving the block sink."""
     p = _BlockParser()
     p.feed(html)
+    p.close()  # deliver buffered incomplete constructs (unterminated rawtext)
     p._flush()
     return p.blocks
+
+
+# ---------------------------------------------------------------------------
+# fast tokenizer (regex scan) — same block-state machine driven directly,
+# ~1.8× the stdlib parser's throughput (tokenization is ~96% of the HTML
+# path). Differentially tested against parse_html_blocks_stdlib on the whole
+# synthetic corpus and on generated HTML (tests/test_html_fast.py); any
+# exception falls back to the stdlib path.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"  # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # cdata
+    r"|<[!?][^>]*>?"  # doctype / pi
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"  # end tag  (group 1)
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(>)?"  # start tag (2,3,4)
+    r"|[^<]+"  # text
+    r"|<",  # stray '<'
+    re.S,
+)
+
+_RAWTEXT = {"script", "style"}
+
+
+def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
+    p = _BlockParser()
+    start, end, data = p.handle_starttag, p.handle_endtag, p.handle_data
+    unescape_needed = "&" in html
+    pos, n = 0, len(html)
+    while pos < n:
+        m = _TOKEN_RE.match(html, pos)
+        if m is None:  # cannot happen (last alternatives cover everything)
+            data(html[pos:])
+            break
+        tok = m.group(0)
+        pos = m.end()
+        c0 = tok[0]
+        if c0 != "<":
+            if unescape_needed and "&" in tok:
+                tok = _unescape(tok)
+            data(tok)
+            continue
+        if m.group(1) is not None:  # end tag
+            end(m.group(1).lower())
+            continue
+        if m.group(2) is not None:  # start tag
+            name = m.group(2).lower()
+            attrs_src = m.group(3) or ""
+            closed = m.group(4) is not None
+            if not closed:
+                # unterminated '<tag ...' at EOF: html.parser treats as data
+                data(tok)
+                continue
+            selfclosing = attrs_src.rstrip().endswith("/")
+            start(name, ())
+            if selfclosing:
+                end(name)
+            elif name in _RAWTEXT:
+                # CDATA content mode: raw until the matching end tag
+                em = re.compile(rf"</\s*{name}", re.I).search(html, pos)
+                if em is None:
+                    pos = n  # unterminated rawtext: stdlib drops the content
+                else:
+                    data(html[pos : em.start()])
+                    gt = html.find(">", em.start())
+                    pos = n if gt < 0 else gt + 1
+                    end(name)
+            continue
+        # comments / doctype / cdata / stray '<': html.parser emits nothing
+        # for the first three; a stray '<' becomes data
+        if tok == "<":
+            data("<")
+    p._flush()
+    return p.blocks
+
+
+def parse_html_blocks(html: str) -> list[HtmlBlock]:
+    """Tokenize a page into the flat block-feature table (document order).
+
+    Fast regex scanner by default (same state machine as the stdlib path);
+    stdlib html.parser as the safety net on any exception."""
+    try:
+        return parse_html_blocks_fast(html)
+    except Exception:
+        return parse_html_blocks_stdlib(html)
 
 
 def is_boilerplate(b: HtmlBlock) -> bool:

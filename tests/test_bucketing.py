@@ -13,9 +13,15 @@ def _plan(df) -> str:
 
 
 def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    import shutil
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     left = docs.select("doc_id", "source", "lang")
     right = docs.select("doc_id", "n_chars")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_left", "bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     write_bucketed(left, "bkt_left", "doc_id", 8)
     write_bucketed(right, "bkt_right", "doc_id", 8)
 

@@ -1,0 +1,77 @@
+"""Differential tests: the fast regex tokenizer must produce IDENTICAL
+block-feature tables to the stdlib html.parser path (which defines the
+semantics), across the synthetic corpus and generated HTML shapes."""
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_parser_benchmark_spark.extract.html_extractor import (
+    parse_html_blocks_fast,
+    parse_html_blocks_stdlib,
+)
+from pdf_parser_benchmark_spark.synth.pages import gen_row, is_pdf_row
+
+
+def _sig(blocks):
+    return [
+        (b.tag, b.level, b.text, b.link_chars, b.total_chars, b.in_chrome)
+        for b in blocks
+    ]
+
+
+def test_identical_on_corpus_sample():
+    checked = 0
+    i = 0
+    while checked < 400:
+        if not is_pdf_row(i):
+            t = gen_row(i)["html"].decode("utf-8")
+            assert _sig(parse_html_blocks_fast(t)) == _sig(
+                parse_html_blocks_stdlib(t)
+            ), f"mismatch at row {i}"
+            checked += 1
+        i += 1
+
+
+_tags = st.sampled_from(
+    ["p", "h1", "h2", "li", "tr", "td", "br", "a", "div", "nav", "footer",
+     "main", "table", "blockquote", "span", "script", "style"]
+)
+_words = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="<>&\x00"),
+    max_size=20,
+)
+_entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&#169;", "&copy;", "&nbsp;"])
+
+
+@st.composite
+def html_doc(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 25))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(f"<{draw(_tags)}>")
+        elif kind == 1:
+            parts.append(f"</{draw(_tags)}>")
+        elif kind == 2:
+            parts.append(draw(_words))
+        elif kind == 3:
+            parts.append(draw(_entity))
+        elif kind == 4:
+            parts.append(f"<{draw(_tags)} class='x' id=\"y\">")
+        else:
+            parts.append(f"<{draw(_tags)}/>")
+    return "".join(parts)
+
+
+@given(html_doc())
+@settings(max_examples=150, deadline=None)
+def test_identical_on_generated_html(doc):
+    assert _sig(parse_html_blocks_fast(doc)) == _sig(parse_html_blocks_stdlib(doc))
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_fast_path_never_crashes_via_fallback(raw):
+    from pdf_parser_benchmark_spark.extract.html_extractor import parse_html_blocks
+
+    blocks = parse_html_blocks(raw)
+    assert all(b.text for b in blocks)
