@@ -35,6 +35,8 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_NAME_RE = re.compile(rb"/((?:[^\x00\t\n\x0c\r ()<>\[\]{}/%])*)")
 
 
 class Ref(int):
@@ -47,16 +49,9 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = self.data[self.pos : self.pos + 1]
-            if c in b"%":
-                eol = d.find(b"\n", self.pos)
-                self.pos = n if eol < 0 else eol + 1
-            elif c in _WS:
-                self.pos += 1
-            else:
-                return
+        m = _WS_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def parse_object(self):
         self._skip_ws()
@@ -108,25 +103,35 @@ class _Lexer:
         raise ValueError(f"cannot parse object at {p}: {d[p:p+20]!r}")
 
     def _parse_name(self) -> str:
-        d = self.data
-        p = self.pos + 1
-        out = bytearray()
-        while p < len(d):
-            c = d[p : p + 1]
-            if c in _WS or c in _DELIM:
-                break
-            if c == b"#" and p + 2 < len(d):
-                out += bytes([int(d[p + 1 : p + 3], 16)])
-                p += 3
-            else:
-                out += c
-                p += 1
-        self.pos = p
-        return "/" + out.decode("latin-1")
+        m = _NAME_RE.match(self.data, self.pos)
+        self.pos = m.end()
+        raw = m.group(1)
+        if b"#" in raw:  # hex-escaped name chars (rare)
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i : i + 1] == b"#" and i + 2 < len(raw) + 1:
+                    try:
+                        out += bytes([int(raw[i + 1 : i + 3], 16)])
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out += raw[i : i + 1]
+                i += 1
+            raw = bytes(out)
+        return "/" + raw.decode("latin-1")
 
     def _parse_string(self) -> bytes:
         d = self.data
         p = self.pos + 1
+        # fast path: no escapes/nesting before the closing paren
+        close = d.find(b")", p)
+        if close >= 0:
+            seg = d[p:close]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = close + 1
+                return seg
         depth = 1
         out = bytearray()
         while p < len(d):
