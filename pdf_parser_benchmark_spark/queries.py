@@ -767,6 +767,48 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id", "rank")
 
 
+@query(
+    "rag_retrieval",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+filtered AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id > 0 AND label IN (1, 2, 4)
+),
+ranked AS (
+  SELECT vec_id, label,
+         round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS score,
+         row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS rank
+  FROM filtered
+)
+SELECT vec_id, label, score, rank,
+       (SELECT max(score) FROM ranked WHERE rank <= 5) < 0.65 AS used_web
+FROM ranked WHERE rank <= 5""",
+)
+def q_rag_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """The full reference query path (§3.3) composed in ONE plan:
+    metadata filter pushdown (P10, rag.py:125-159) → k-NN scoring (J4,
+    rag.py:191-197) → top-k=5 (W2, config.py:30) → web-fallback gate
+    max(score)<0.65 (A4, rag.py:213-215)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter((F.col("vec_id") > 0) & F.col("label").isin(1, 2, 4))
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score", F.round(cosine_rounded(F.col("qvec"), F.col("embedding"), 9), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(cosine_rounded(F.col("qvec"), F.col("embedding"), 9)), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "label", "score", "rank")
+    )
+    gate = topk.agg((F.max("score") < 0.65).alias("used_web"))
+    return topk.crossJoin(F.broadcast(gate))
+
+
 @query("ann_ivf_kmeans_topk")  # iterative algorithm — rows-only (numpy twin in tests)
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with a REAL k-means coarse quantizer (deterministic Lloyd's as
@@ -1190,6 +1232,38 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "semi_join_customers",
+    """SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""",
+)
+def q_semi_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "set_ops_sources",
+    """SELECT source FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT source FROM documents WHERE lang = 'de'
+EXCEPT
+SELECT source FROM documents WHERE doc_id < 5""",
+)
+def q_set_ops_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT (marked absent in the reference, SURVEY §2.7 —
+    included for engine completeness)."""
+    docs = _t(spark, sf, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source")
+    de = docs.filter(F.col("lang") == "de").select("source")
+    low = docs.filter(F.col("doc_id") < 5).select("source")
+    return en.intersect(de).exceptAll(low.distinct()).distinct()
 
 
 @query(
