@@ -210,6 +210,42 @@ class _Stream:
     raw: bytes
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (None/Sub/Up/Average/Paeth) — used by
+    FlateDecode with /Predictor ≥ 10 (common in xref/object streams)."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Document structure
 # ---------------------------------------------------------------------------
@@ -222,6 +258,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self._scan_objects()
+        self._expand_object_streams()
 
     def _scan_objects(self) -> None:
         """Tolerant scan for `N G obj ... endobj` (more robust than strict
@@ -253,6 +290,28 @@ class PdfDocument:
                 obj = _Stream(obj, raw)
             self.objects[num] = obj
 
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5 /ObjStm: decompress and register the packed objects
+        (header = N pairs of 'objnum offset', payload starts at /First)."""
+        for obj in list(self.objects.values()):
+            if not isinstance(obj, _Stream) or obj.dict.get("/Type") != "/ObjStm":
+                continue
+            try:
+                data = self.stream_data(obj)
+                n = int(self.resolve(obj.dict.get("/N")) or 0)
+                first = int(self.resolve(obj.dict.get("/First")) or 0)
+                header = data[:first].split()
+                pairs = [
+                    (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+                ]
+                for num, off in pairs:
+                    if num in self.objects:
+                        continue  # direct objects win (tolerant policy)
+                    lex = _Lexer(data, first + off)
+                    self.objects[num] = lex.parse_object()
+            except Exception:
+                continue  # tolerate broken containers; direct objects remain
+
     def resolve(self, obj):
         seen = 0
         while isinstance(obj, Ref) and seen < 32:
@@ -264,9 +323,19 @@ class PdfDocument:
         filt = self.resolve(s.dict.get("/Filter"))
         data = s.raw
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms = self.resolve(s.dict.get("/DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, pm in zip(filters, parms_list):
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+                pm = self.resolve(pm)
+                if isinstance(pm, dict) and int(self.resolve(pm.get("/Predictor")) or 1) >= 10:
+                    data = _png_unpredict(
+                        data,
+                        columns=int(self.resolve(pm.get("/Columns")) or 1),
+                        colors=int(self.resolve(pm.get("/Colors")) or 1),
+                        bpc=int(self.resolve(pm.get("/BitsPerComponent")) or 8),
+                    )
             elif f in (None,):
                 pass
             else:

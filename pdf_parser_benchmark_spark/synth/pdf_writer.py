@@ -114,8 +114,11 @@ def _content_stream(page: PageSpec) -> bytes:
     return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(pages: list[PageSpec]) -> bytes:
-    """Assemble a complete PDF file with a correct xref table."""
+def build_pdf(pages: list[PageSpec], use_object_streams: bool = False) -> bytes:
+    """Assemble a complete PDF file with a correct xref table.
+
+    use_object_streams=True packs all non-stream objects into a PDF 1.5
+    /ObjStm (exercises the parser's compressed-object path)."""
     objects: list[bytes] = []  # 1-indexed bodies, object n = objects[n-1]
 
     def add(body: bytes) -> int:
@@ -162,6 +165,49 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(pages))
     ) == pages_num
     catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+
+    if use_object_streams:
+        # PDF 1.5 object streams: pack every non-stream object into one
+        # compressed /ObjStm container (streams must stay top-level)
+        packed_nums = [
+            n for n, body in enumerate(objects, start=1)
+            if not body.rstrip().endswith(b"endstream")
+        ]
+        parts: list[bytes] = []
+        offs: list[tuple[int, int]] = []
+        pos = 0
+        for n in packed_nums:
+            body = objects[n - 1]
+            offs.append((n, pos))
+            parts.append(body + b"\n")
+            pos += len(body) + 1
+        header = b" ".join(b"%d %d" % (n, o) for n, o in offs) + b"\n"
+        payload = header + b"".join(parts)
+        comp = zlib.compress(payload)
+        objstm_body = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            b"\nstream\n" % (len(packed_nums), len(header), len(comp))
+            + comp
+            + b"\nendstream"
+        )
+        objstm_num = add(objstm_body)
+        packed = set(packed_nums)
+        buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets_map: dict[int, int] = {}
+        for i, body in enumerate(objects, start=1):
+            if i in packed:
+                continue
+            offsets_map[i] = len(buf)
+            buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_off = len(buf)
+        # classic trailer alongside (hybrid) — our reader scans objects, but
+        # the file stays navigable
+        buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(objects) + 1,
+            catalog_num,
+            xref_off,
+        )
+        return bytes(buf)
 
     # serialize with xref
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

@@ -1,0 +1,51 @@
+"""PDF 1.5 object streams + FlateDecode predictors."""
+
+from pdf_parser_benchmark_spark.extract.pdf_parser import _png_unpredict, parse_pdf
+from pdf_parser_benchmark_spark.synth.pdf_writer import (
+    build_pdf,
+    lines_page,
+    two_column_page,
+)
+
+SPECS = [
+    lines_page(["Body one.", "Body two."], header="HDR", footer="FTR",
+               heading="Chapter 1"),
+    lines_page(["é Ω CMap body"], font="F2"),
+    two_column_page(["L1", "L2"], ["R1", "R2"]),
+    lines_page(["rotated Reproducible 4.3"], rotate=270),
+    lines_page(["tj split page"], use_tj_array=True),
+]
+
+
+def _sig(pages):
+    return [(p.rotation, [b.lines for b in p.blocks]) for p in pages]
+
+
+def test_objstm_round_trip_matches_classic():
+    classic = parse_pdf(build_pdf(SPECS))
+    objstm_bytes = build_pdf(SPECS, use_object_streams=True)
+    assert b"/ObjStm" in objstm_bytes and objstm_bytes.startswith(b"%PDF-1.5")
+    assert _sig(parse_pdf(objstm_bytes)) == _sig(classic)
+
+
+def test_png_predictors_roundtrip():
+    rows = [bytes([(i * 7 + r * 13) % 256 for i in range(12)]) for r in range(5)]
+
+    def encode(ftype):
+        enc = bytearray()
+        prev = bytes(12)
+        for r in rows:
+            enc.append(ftype)
+            if ftype == 0:
+                enc += r
+            elif ftype == 1:  # Sub
+                enc += bytes(
+                    (r[i] - (r[i - 1] if i >= 1 else 0)) & 0xFF for i in range(12)
+                )
+            elif ftype == 2:  # Up
+                enc += bytes((r[i] - prev[i]) & 0xFF for i in range(12))
+            prev = r
+        return bytes(enc)
+
+    for ftype in (0, 1, 2):
+        assert _png_unpredict(encode(ftype), columns=12) == b"".join(rows)
