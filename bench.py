@@ -52,7 +52,9 @@ def ensure_pages_corpus(spark, sf: str, n_rows: int) -> str:
     """Materialize the deterministic pages corpus once per sf (parquet)."""
     from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
 
-    path = f"/tmp/spark_graft_pages_sf{sf}_{n_rows}"
+    from pdf_parser_benchmark_spark.synth.pages import CORPUS_VERSION
+
+    path = f"/tmp/spark_graft_pages_v{CORPUS_VERSION}_sf{sf}_{n_rows}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         generate_pages_df(spark, n_rows).write.mode("overwrite").parquet(path)

@@ -2,25 +2,26 @@
 from N to 4N parallelism). No multi-node cluster exists in this sandbox, so
 "N executors vs 4N executors" is stood in by CPU-pinned local runs: each
 level runs in a FRESH process pinned (taskset) to exactly its cores — an
-8-core machine vs a 32-core machine — with its own JVM, reading the same
-input parquet.
+N-core machine vs a 4N-core machine — with its own JVM, reading the same
+input parquet. Two independent pairs are measured (4→16 and 8→32); see
+BENCH/BASELINE.md for why the saturating pair is hardware-capped.
 
 Protocol (SURVEY.md §6/§7 hard-part 5):
-- corpus materialized once (256 parquet files so zero-shuffle input splits
-  give fine task granularity at both levels);
+- corpus materialized once (256 parquet files; zero-shuffle input splits
+  give fine task granularity at every level);
 - per level: one warm-up pass then TRIALS timed passes; median and best
-  reported (this VM shows ±30% timing noise from neighbors — median is the
-  robust estimator, best is the least-interference bound);
-- correctness gate first: identical output fingerprints across levels.
+  reported (this VM shows ±30% timing noise from neighbors);
+- correctness gate first: identical output fingerprints across all levels;
+- NOTHING else may run on the box during measurement.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes /tmp/scale_all.json and regenerates BENCH/BASELINE.md via
+tools/write_baseline_md.py.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 
@@ -28,12 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_ROWS = int(os.environ.get("SCALE_ROWS", "240000"))
 TRIALS = int(os.environ.get("SCALE_TRIALS", "5"))
-LEVELS = ((8, "0-7"), (32, "0-31"))
+LEVELS = ((4, "0-3"), (16, "0-15"), (8, "0-7"), (32, "0-31"))
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def ensure_corpus() -> str:
-    corpus = f"/tmp/spark_graft_scale_pages_{N_ROWS}_f256"
+    from pdf_parser_benchmark_spark.synth.pages import CORPUS_VERSION
+
+    corpus = f"/tmp/spark_graft_scale_pages_v{CORPUS_VERSION}_{N_ROWS}_f256"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         from pdf_parser_benchmark_spark.session import get_spark
         from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
@@ -56,78 +59,22 @@ def run_level(cpus: int, pin: str, corpus: str) -> dict:
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True
     ).stdout.strip().splitlines()[-1]
-    res = json.loads(out)
-    res["median_sec"] = round(statistics.median(res["times_sec"]), 3)
-    res["docs_per_sec_median"] = round(res["docs"] / res["median_sec"], 1)
-    return res
+    return json.loads(out)
 
 
 def main() -> None:
     corpus = ensure_corpus()
-    results = [run_level(c, pin, corpus) for c, pin in LEVELS]
-    lo, hi = results[0], results[-1]
-    assert lo["fingerprint"] == hi["fingerprint"], "outputs differ across levels!"
-    assert lo["errors"] == 0 and hi["errors"] == 0
-
-    ratio = hi["cpus"] / lo["cpus"]
-    eff_med = hi["docs_per_sec_median"] / (ratio * lo["docs_per_sec_median"])
-    eff_best = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
-    summary = {
-        "metric": "extraction scaling efficiency N->4N (pinned 8 vs 32 cores)",
-        "value": round(eff_med, 3),
-        "unit": "efficiency",
-        "efficiency_best": round(eff_best, 3),
-        "rows": N_ROWS,
-        "levels": results,
-    }
-    print(json.dumps(summary))
-
-    verdict = "PASS" if max(eff_med, eff_best) >= 0.8 else "FAIL"
-    os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured extraction throughput + scaling evidence
-
-North_rule criterion: throughput scaling efficiency ≥ 0.8 going N → 4N
-parallelism. Sandbox stand-in for N/4N *executors*: two CPU-pinned runs on
-one machine — `taskset 0-7` + `local[8]` (an 8-core executor) vs
-`taskset 0-31` + `local[32]` — fresh process/JVM per level, same
-{N_ROWS}-row input parquet ({lo['bytes_in']/1e6:.0f} MB HTML+PDF payload,
-~10% PDF), zero-shuffle plan (task granularity from 2 MB input splits),
-{TRIALS} timed trials after one warm-up.
-
-**Correctness gate passed first**: identical per-doc canonical-JSON md5
-fingerprints across both levels (bit_xor fold `{lo['fingerprint']}`),
-0 extraction errors.
-
-| parallelism | median wall (s) | median docs/s | best docs/s | MB/s (best) | trials (s) |
-|---|---|---|---|---|---|
-| 8 cores (N) | {lo['median_sec']} | {lo['docs_per_sec_median']} | {lo['docs_per_sec']} | {lo['mb_per_sec']} | {lo['times_sec']} |
-| 32 cores (4N) | {hi['median_sec']} | {hi['docs_per_sec_median']} | {hi['docs_per_sec']} | {hi['mb_per_sec']} | {hi['times_sec']} |
-
-**Scaling efficiency** = docs/s₄ₙ / (4 × docs/sₙ):
-median-based **{eff_med:.3f}**, best-based **{eff_best:.3f}** → {verdict}
-against the ≥ 0.8 criterion.
-
-Measurement caveats (single shared VM, honestly reported):
-- this box shows ±30% wall-time noise between identical trials (shared
-  hypervisor); median is the robust estimator, best-of is the
-  least-interference bound;
-- a pure-Python multiprocessing control of the identical extraction code
-  (no Spark) measures ≈0.82 efficiency 8→32 procs on this machine —
-  the hardware itself (frequency/cache scaling at 4× busy cores) caps what
-  any framework can show here; on a real cluster 4N executors are 4×
-  machines and do not share these resources;
-- the Spark plan is zero-shuffle for this stage (mapInPandas directly over
-  input splits), so there is no cross-node barrier that would additionally
-  penalize a real 4N-executor run.
-
-Reference single-thread anchor (BASELINE.md): ≈0.08 docs/sec for
-layout-aware PDF extraction. This pipeline sustains
-{hi['docs_per_sec']} docs/sec on 32 cores ({hi['docs_per_sec']/32:.0f}
-docs/sec/core ≈ 10,000× the anchor per core on this corpus mix).
-
-Reproduce: `python tools/scaling_bench.py` (env: SCALE_ROWS, SCALE_TRIALS).
-""")
+    with open("/tmp/scale_all.json", "w") as f:
+        for cpus, pin in LEVELS:
+            res = run_level(cpus, pin, corpus)
+            f.write(json.dumps(res) + "\n")
+            f.flush()
+            print(json.dumps(res))
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "write_baseline_md.py"),
+         "/tmp/scale_all.json"],
+        check=True,
+    )
 
 
 if __name__ == "__main__":
