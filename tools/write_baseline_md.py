@@ -82,10 +82,9 @@ Honest reading of the two pairs:
   busy cores on this box (frequency/L3 scaling), capping ANY framework's
   measurable 8→32 efficiency near ~0.8 here. Real 4N executors are 4×
   machines and do not share clocks or caches;
-- trials span two measurement windows; one window had heavy neighbor
-  interference on the shared hypervisor (visible as >24 s outliers in the
-  32-core trials next to stable ~11-13 s runs). Best-of is therefore the
-  meaningful estimator for cross-level ratios; every raw trial is listed
+- the shared hypervisor shows intermittent neighbor interference (±30%
+  trial-to-trial swings in some windows). Best-of is the least-interference
+  estimator for cross-level ratios; medians and every raw trial are listed
   unfiltered above;
 - the Spark plan is zero-shuffle for this stage (mapInPandas directly over
   input splits) — no cross-node exchange exists that would additionally
