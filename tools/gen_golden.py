@@ -28,7 +28,12 @@ if os.path.basename(os.getcwd()) == "repo":
     GOLDEN_DIR = os.path.join(os.getcwd(), "tests", "golden")
 
 
+CORPUS_FP_ROWS = 3000  # corpus-wide fingerprint coverage
+
+
 def main() -> None:
+    import hashlib
+
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for rid in GOLDEN_ROW_IDS:
         row = gen_row(rid)
@@ -38,6 +43,16 @@ def main() -> None:
             f.write(out.encode("utf-8"))
         kind = "pdf" if row["html"][:5] == b"%PDF-" else "html"
         print(f"{path} [{kind}] {len(out)} bytes")
+
+    # corpus-wide fingerprints: md5 of every canonical record for the first
+    # CORPUS_FP_ROWS row ids — catches regressions the 24 full fixtures miss
+    fp_path = os.path.join(GOLDEN_DIR, "corpus_fingerprints.tsv")
+    with open(fp_path, "w") as f:
+        for rid in range(CORPUS_FP_ROWS):
+            row = gen_row(rid)
+            out = extract_document_json(row["url"], row["html"])
+            f.write(f"{rid}\t{hashlib.md5(out.encode('utf-8')).hexdigest()}\n")
+    print(f"{fp_path}: {CORPUS_FP_ROWS} fingerprints")
 
 
 if __name__ == "__main__":
