@@ -381,6 +381,7 @@ class PdfDocument:
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
@@ -389,9 +390,17 @@ def _hex_to_unicode(h: bytes) -> str:
     return raw.decode("utf-16-be", errors="replace")
 
 
-def parse_tounicode(cmap: bytes) -> dict[int, str]:
-    """Parse bfchar/bfrange sections of a ToUnicode CMap into code→str."""
+def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ToUnicode CMap → (code→str table, code byte-width).
+
+    Width comes from the codespacerange hex-digit length (<00> → 1 byte,
+    <0000> → 2 bytes — Type0/Identity-H CID fonts); default 1."""
     table: dict[int, str] = {}
+    code_bytes = 1
+    for seg in _CODESPACE_RE.findall(cmap):
+        toks = _HEX_RE.findall(seg)
+        if toks:
+            code_bytes = max(1, len(toks[0]) // 2)
     for seg in _BFCHAR_RE.findall(cmap):
         toks = _HEX_RE.findall(seg)
         for src, dst in zip(toks[0::2], toks[1::2]):
@@ -403,18 +412,26 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
             base = int(dst, 16)
             for c in range(lo_i, hi_i + 1):
                 table[c] = chr(base + (c - lo_i))
-    return table
+    return table, code_bytes
 
 
 class Font:
-    def __init__(self, cmap: dict[int, str] | None):
+    def __init__(self, cmap: dict[int, str] | None, code_bytes: int = 1):
         self.cmap = cmap
+        self.code_bytes = code_bytes
 
     def decode(self, raw: bytes) -> str:
         if self.cmap is None:
             # StandardEncoding fallback ≈ latin-1 for the printable subset
             return raw.decode("latin-1", errors="replace")
-        return "".join(self.cmap.get(b, "�") for b in raw)
+        if self.code_bytes == 1:
+            return "".join(self.cmap.get(b, "�") for b in raw)
+        w = self.code_bytes
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            out.append(self.cmap.get(code, "�"))
+        return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -440,8 +457,15 @@ def _tokenize_content(data: bytes):
         yield m.group()
 
 
-def interpret_content(data: bytes, fonts: dict[str, Font]) -> list[TextSpanItem]:
-    """Execute the text-positioning subset; emit one item per Tj/TJ/'/"."""
+def interpret_content(
+    data: bytes,
+    fonts: dict[str, Font],
+    xobjects: dict[str, tuple[bytes, dict[str, Font]]] | None = None,
+    depth: int = 0,
+) -> list[TextSpanItem]:
+    """Execute the text-positioning subset; emit one item per Tj/TJ/'/".
+    `Do` on a form XObject recursively interprets its content stream
+    (identity /Matrix assumed; depth-capped against cycles)."""
     items: list[TextSpanItem] = []
     stack: list[object] = []
     font: Font | None = None
@@ -530,6 +554,15 @@ def interpret_content(data: bytes, fonts: dict[str, Font]) -> list[TextSpanItem]
             items.append(
                 TextSpanItem(cx, cy, "".join(f.decode(p) for p in parts), size)
             )
+        elif op == b"Do" and stack and xobjects and depth < 8:
+            name = stack[-1]
+            if isinstance(name, str):
+                xo = xobjects.get(name.lstrip("/"))
+                if xo is not None:
+                    sub_data, sub_fonts = xo
+                    items.extend(
+                        interpret_content(sub_data, sub_fonts, xobjects, depth + 1)
+                    )
         stack.clear()
     return items
 
@@ -661,22 +694,42 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
     doc = PdfDocument(data)
     pages: list[ParsedPage] = []
     font_cache: dict[int, Font] = {}  # CMaps parsed once per font object
-    for idx, pdict in enumerate(doc.pages()):
-        rotation = int(doc.resolve(pdict.get("/Rotate")) or 0) % 360
+
+    def build_fonts(res: dict) -> dict[str, Font]:
         fonts: dict[str, Font] = {}
-        res = doc.resolve(pdict.get("/Resources")) or {}
         fdict = doc.resolve(res.get("/Font")) or {}
         for name, fref in fdict.items():
             key = int(fref) if isinstance(fref, Ref) else id(fref)
             if key not in font_cache:
                 fobj = doc.resolve(fref)
-                cmap = None
+                cmap, code_bytes = None, 1
                 if isinstance(fobj, dict) and "/ToUnicode" in fobj:
                     cm = doc.resolve(fobj["/ToUnicode"])
                     if isinstance(cm, _Stream):
-                        cmap = parse_tounicode(doc.stream_data(cm))
-                font_cache[key] = Font(cmap)
+                        cmap, code_bytes = parse_tounicode(doc.stream_data(cm))
+                font_cache[key] = Font(cmap, code_bytes)
             fonts[name.lstrip("/")] = font_cache[key]
+        return fonts
+
+    for idx, pdict in enumerate(doc.pages()):
+        rotation = int(doc.resolve(pdict.get("/Rotate")) or 0) % 360
+        res = doc.resolve(pdict.get("/Resources")) or {}
+        fonts = build_fonts(res)
+        # form XObjects: name → (decoded stream, its fonts or the page's)
+        xobjects: dict[str, tuple[bytes, dict[str, Font]]] = {}
+        xdict = doc.resolve(res.get("/XObject")) or {}
+        for name, xref in xdict.items():
+            xo = doc.resolve(xref)
+            if (
+                isinstance(xo, _Stream)
+                and xo.dict.get("/Subtype") == "/Form"
+            ):
+                xres = doc.resolve(xo.dict.get("/Resources"))
+                xfonts = build_fonts(xres) if isinstance(xres, dict) else fonts
+                try:
+                    xobjects[name.lstrip("/")] = (doc.stream_data(xo), xfonts)
+                except Exception:
+                    continue
         contents = doc.resolve(pdict.get("/Contents"))
         streams = contents if isinstance(contents, list) else [contents]
         data_parts = []
@@ -684,7 +737,7 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
             s = doc.resolve(s)
             if isinstance(s, _Stream):
                 data_parts.append(doc.stream_data(s))
-        items = interpret_content(b"\n".join(data_parts), fonts)
+        items = interpret_content(b"\n".join(data_parts), fonts, xobjects)
         items = _rotate_items(items, rotation)
         blocks = [_to_block(g) for g in _xy_cut(items) if g]
         pages.append(ParsedPage(index=idx, rotation=rotation, blocks=blocks))

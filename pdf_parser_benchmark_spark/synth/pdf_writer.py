@@ -45,6 +45,7 @@ class PageSpec:
     compress: bool = True
     use_tj_array: bool = False  # emit TJ [(..) kern (..)] instead of Tj
     use_tm: bool = False  # position via Tm instead of Td
+    form_items: list[TextItem] = field(default_factory=list)  # via /Do XObject
 
 
 # F2's single-byte code -> unicode map (forces the CMap decode path; includes
@@ -56,6 +57,29 @@ _F2_REVERSE = {v: k for k, v in F2_CMAP.items()}
 
 def _encode_f2(text: str) -> bytes:
     return bytes(_F2_REVERSE[ch] for ch in text)
+
+
+def _tounicode_cmap_cid() -> bytes:
+    """2-byte Identity ToUnicode CMap for the Type0/Identity-H fixture font
+    (F3): code == unicode codepoint over ASCII + the CJK block we use."""
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /F3toUnicode def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+        "2 beginbfrange",
+        "<0020> <07FF> <0020>",
+        "<4E00> <9FFF> <4E00>",
+        "endbfrange",
+        "endcmap",
+        "end",
+        "end",
+    ]
+    return "\n".join(lines).encode("ascii")
 
 
 def _tounicode_cmap() -> bytes:
@@ -83,6 +107,8 @@ def _content_stream(page: PageSpec) -> bytes:
     out: list[str] = []
 
     def _lit(it: TextItem, text: str) -> str:
+        if it.font == "F3":  # Type0/Identity-H: 2-byte hex string
+            return None  # handled by _show
         if it.font == "F2":
             raw = _encode_f2(text)
             return "".join(
@@ -90,6 +116,11 @@ def _content_stream(page: PageSpec) -> bytes:
                 for b in raw
             )
         return _esc(text.encode("latin-1", "replace").decode("latin-1"))
+
+    def _show(it: TextItem, text: str) -> str:
+        if it.font == "F3":
+            return "<" + "".join(f"{ord(c):04X}" for c in text) + ">"
+        return f"({_lit(it, text)})"
 
     for i, it in enumerate(page.items):
         out.append("BT")
@@ -107,9 +138,11 @@ def _content_stream(page: PageSpec) -> bytes:
             # split the TEXT (not the escaped literal — escapes must not be
             # cut mid-sequence), escape each part independently
             half = max(1, len(it.text) // 2)
-            out.append(f"[({_lit(it, it.text[:half])}) -20 ({_lit(it, it.text[half:])})] TJ")
+            out.append(
+                f"[{_show(it, it.text[:half])} -20 {_show(it, it.text[half:])}] TJ"
+            )
         else:
-            out.append(f"({_lit(it, it.text)}) Tj")
+            out.append(f"{_show(it, it.text)} Tj")
         out.append("ET")
     return "\n".join(out).encode("latin-1")
 
@@ -134,10 +167,37 @@ def build_pdf(pages: list[PageSpec], use_object_streams: bool = False) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
         b"/ToUnicode %d 0 R >>" % cmap_num
     )
+    cid_cmap_stream = _tounicode_cmap_cid()
+    cid_cmap_num = add(
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(cid_cmap_stream), cid_cmap_stream)
+    )
+    f3_desc_num = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CJKFixture >>"
+    )
+    f3_num = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /CJKFixture "
+        b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+        b"/ToUnicode %d 0 R >>" % (f3_desc_num, cid_cmap_num)
+    )
 
     content_nums: list[int] = []
+    form_nums: list[int | None] = []
     for p in pages:
         data = _content_stream(p)
+        if p.form_items:
+            fdata = _content_stream(PageSpec(items=p.form_items))
+            form_nums.append(
+                add(
+                    b"<< /Type /XObject /Subtype /Form /BBox [0 0 %d %d] "
+                    b"/Length %d >>\nstream\n" % (PAGE_W, PAGE_H, len(fdata))
+                    + fdata
+                    + b"\nendstream"
+                )
+            )
+            data += b"\n/X1 Do"
+        else:
+            form_nums.append(None)
         if p.compress:
             comp = zlib.compress(data)
             body = (
@@ -152,12 +212,13 @@ def build_pdf(pages: list[PageSpec], use_object_streams: bool = False) -> bytes:
     # reserve numbers: pages tree node, then one page object per page
     pages_num = len(objects) + 1 + len(pages)  # page objs first, tree after
     page_nums: list[int] = []
-    for p, c in zip(pages, content_nums):
+    for p, c, fx in zip(pages, content_nums, form_nums):
+        xobj = b" /XObject << /X1 %d 0 R >>" % fx if fx else b""
         body = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-            b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
+            b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R /F3 %d 0 R >>%s >> "
             b"/Contents %d 0 R >>"
-            % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, c)
+            % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, f3_num, xobj, c)
         )
         page_nums.append(add(body))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)

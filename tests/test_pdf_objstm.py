@@ -28,6 +28,26 @@ def test_objstm_round_trip_matches_classic():
     assert _sig(parse_pdf(objstm_bytes)) == _sig(classic)
 
 
+def test_cid_type0_font_decodes_multibyte():
+    """Type0/Identity-H with a 2-byte ToUnicode CMap (CJK fixture)."""
+    pdf = build_pdf([lines_page(["中文 mixed ascii", "第二 line"], font="F3")])
+    page = parse_pdf(pdf)[0]
+    assert [b.lines for b in page.blocks] == [["中文 mixed ascii", "第二 line"]]
+
+
+def test_cid_font_in_tj_array():
+    pdf = build_pdf([lines_page(["中文字 and more"], font="F3", use_tj_array=True)])
+    page = parse_pdf(pdf)[0]
+    assert page.blocks[0].lines == ["中文字 and more"]
+
+
+def test_cid_font_inside_objstm():
+    pdf = build_pdf(
+        [lines_page(["中 objstm"], font="F3")], use_object_streams=True
+    )
+    assert parse_pdf(pdf)[0].blocks[0].lines == ["中 objstm"]
+
+
 def test_png_predictors_roundtrip():
     rows = [bytes([(i * 7 + r * 13) % 256 for i in range(12)]) for r in range(5)]
 
@@ -49,3 +69,18 @@ def test_png_predictors_roundtrip():
 
     for ftype in (0, 1, 2):
         assert _png_unpredict(encode(ftype), columns=12) == b"".join(rows)
+
+
+def test_form_xobject_do_executed():
+    from pdf_parser_benchmark_spark.synth.pdf_writer import PageSpec, TextItem
+
+    page = PageSpec(
+        items=[TextItem(72, 700, "main content line")],
+        form_items=[TextItem(72, 400, "form xobject text"),
+                    TextItem(72, 386, "second form line")],
+    )
+    pdf = build_pdf([page])
+    blocks = parse_pdf(pdf)[0].blocks
+    texts = [b.text() for b in blocks]
+    assert "main content line" in texts
+    assert "form xobject text\nsecond form line" in texts

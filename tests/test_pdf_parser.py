@@ -72,8 +72,9 @@ endcodespacerange
 <41> <43> <0061>
 endbfrange
 """
-    table = parse_tounicode(cmap)
+    table, code_bytes = parse_tounicode(cmap)
     assert table[0x41] == "a" and table[0x42] == "b" and table[0x43] == "c"
+    assert code_bytes == 1
 
 
 def test_rotation_detected():
