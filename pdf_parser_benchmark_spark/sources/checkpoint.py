@@ -59,6 +59,32 @@ def filter_resumable(
     return df_with_split.join(F.broadcast(done), "split_id", "left_anti")
 
 
+def compact_manifest(spark: SparkSession, manifest_dir: str) -> int:
+    """Squash the append-only manifest to one row per split (latest wins).
+
+    The manifest grows one row per split per run; at 10^12 scale with many
+    resumed runs this is the small-files problem in miniature. Compaction
+    rewrites it as a single snapshot (write-new-then-swap for atomicity).
+    Returns the surviving row count."""
+    import shutil
+
+    from pyspark.sql import Window, functions as F2
+
+    df = spark.read.parquet(manifest_dir)
+    w = Window.partitionBy("split_id").orderBy(F.desc("run_id"))
+    latest = (
+        df.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") == 1)
+        .drop("rn")
+    )
+    tmp = manifest_dir.rstrip("/") + ".compacting"
+    latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(manifest_dir)
+    shutil.move(tmp, manifest_dir)
+    return n
+
+
 def mark_splits_complete(
     extracted: DataFrame, manifest_dir: str, run_id: str
 ) -> None:

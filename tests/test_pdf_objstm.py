@@ -84,3 +84,28 @@ def test_form_xobject_do_executed():
     texts = [b.text() for b in blocks]
     assert "main content line" in texts
     assert "form xobject text\nsecond form line" in texts
+
+
+def test_incremental_update_shadows_earlier_object():
+    """Appended (incremental-update) object definitions win — the scan
+    registers later `N 0 obj` bodies over earlier ones, matching xref-chain
+    precedence for updated documents."""
+    base = build_pdf([lines_page(["original text"], compress=False)])
+    # find the CONTENT stream's object number (the one holding our text)
+    import re
+
+    objnum = None
+    for m in re.finditer(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n", base):
+        end = base.find(b"endstream", m.end())
+        if b"original text" in base[m.end() : end]:
+            objnum = int(m.group(1))
+    assert objnum is not None
+    new_stream = b"BT /F1 11 Tf 72 700 Td (updated text) Tj ET"
+    update = (
+        b"\n%d 0 obj\n<< /Length %d >>\nstream\n" % (objnum, len(new_stream))
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    patched = base + update
+    texts = [b.text() for b in parse_pdf(patched)[0].blocks]
+    assert texts == ["updated text"]

@@ -104,3 +104,25 @@ def test_poison_document_isolated(spark):
     bad = by_url["https://h.example/bad.pdf"]
     # bad pdf either errors or yields an empty parse — never crashes the job
     assert bad["error"] is not None or bad["chunk_count"] == 0
+
+
+def test_manifest_compaction(spark, pages, tmp_path):
+    from pdf_parser_benchmark_spark.sources.checkpoint import (
+        compact_manifest,
+        read_completed_splits,
+    )
+
+    out, mani = str(tmp_path / "outC"), str(tmp_path / "maniC")
+    run_pipeline(spark, pages, out, mani, n_splits=8, commit_batches=4)
+    # force duplicate manifest rows: full re-run with resume disabled
+    run_pipeline(spark, pages, out, mani, n_splits=8, commit_batches=4,
+                 resume=False)
+    raw_rows = spark.read.parquet(mani).count()
+    assert raw_rows > 8
+    n = compact_manifest(spark, mani)
+    assert n == 8
+    done = read_completed_splits(spark, mani)
+    assert done.count() == 8
+    # resume still recognizes everything as complete
+    r = run_pipeline(spark, pages, out, mani, n_splits=8)
+    assert r["splits_done"] == 0
