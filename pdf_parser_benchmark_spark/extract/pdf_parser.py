@@ -22,6 +22,7 @@ global state — safe to call from `mapInPandas` workers.
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -390,12 +391,42 @@ def _hex_to_unicode(h: bytes) -> str:
     return raw.decode("utf-16-be", errors="replace")
 
 
-def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
-    """Parse a ToUnicode CMap → (code→str table, code byte-width).
+class CMapTable:
+    """code→unicode mapping: explicit bfchar dict + UNMATERIALIZED bfranges
+    (bisect lookup, memoized) — a CID CMap can span tens of thousands of
+    codes; only the codes a document actually uses should cost anything."""
+
+    __slots__ = ("chars", "ranges", "_starts")
+
+    def __init__(self, chars: dict[int, str], ranges: list[tuple[int, int, int]]):
+        self.chars = chars
+        self.ranges = sorted(ranges)
+        self._starts = [r[0] for r in self.ranges]
+
+    def get(self, code: int, default: str = "�") -> str:
+        hit = self.chars.get(code)
+        if hit is not None:
+            return hit
+        i = bisect.bisect_right(self._starts, code) - 1
+        if i >= 0:
+            lo, hi, base = self.ranges[i]
+            if lo <= code <= hi:
+                val = chr(base + (code - lo))
+                self.chars[code] = val  # memoize
+                return val
+        return default
+
+    def __getitem__(self, code: int) -> str:
+        return self.get(code)
+
+
+def parse_tounicode(cmap: bytes) -> tuple["CMapTable", int]:
+    """Parse a ToUnicode CMap → (lookup table, code byte-width).
 
     Width comes from the codespacerange hex-digit length (<00> → 1 byte,
     <0000> → 2 bytes — Type0/Identity-H CID fonts); default 1."""
-    table: dict[int, str] = {}
+    chars: dict[int, str] = {}
+    ranges: list[tuple[int, int, int]] = []
     code_bytes = 1
     for seg in _CODESPACE_RE.findall(cmap):
         toks = _HEX_RE.findall(seg)
@@ -404,23 +435,34 @@ def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
     for seg in _BFCHAR_RE.findall(cmap):
         toks = _HEX_RE.findall(seg)
         for src, dst in zip(toks[0::2], toks[1::2]):
-            table[int(src, 16)] = _hex_to_unicode(dst)
+            chars[int(src, 16)] = _hex_to_unicode(dst)
     for seg in _BFRANGE_RE.findall(cmap):
         toks = _HEX_RE.findall(seg)
         for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
-            lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
-            for c in range(lo_i, hi_i + 1):
-                table[c] = chr(base + (c - lo_i))
-    return table, code_bytes
+            ranges.append((int(lo, 16), int(hi, 16), int(dst, 16)))
+    return CMapTable(chars, ranges), code_bytes
 
 
 class Font:
-    def __init__(self, cmap: dict[int, str] | None, code_bytes: int = 1):
+    """ToUnicode-backed font. The CMap is parsed LAZILY on first decode —
+    pages routinely declare fonts they never use (our fixture resources list
+    F1/F2/F3 on every page), and a CID CMap materializes thousands of
+    entries."""
+
+    def __init__(
+        self,
+        cmap: dict[int, str] | None = None,
+        code_bytes: int = 1,
+        raw_cmap: bytes | None = None,
+    ):
         self.cmap = cmap
         self.code_bytes = code_bytes
+        self._raw_cmap = raw_cmap
 
     def decode(self, raw: bytes) -> str:
+        if self.cmap is None and self._raw_cmap is not None:
+            self.cmap, self.code_bytes = parse_tounicode(self._raw_cmap)
+            self._raw_cmap = None
         if self.cmap is None:
             # StandardEncoding fallback ≈ latin-1 for the printable subset
             return raw.decode("latin-1", errors="replace")
@@ -702,12 +744,12 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
             key = int(fref) if isinstance(fref, Ref) else id(fref)
             if key not in font_cache:
                 fobj = doc.resolve(fref)
-                cmap, code_bytes = None, 1
+                raw_cmap = None
                 if isinstance(fobj, dict) and "/ToUnicode" in fobj:
                     cm = doc.resolve(fobj["/ToUnicode"])
                     if isinstance(cm, _Stream):
-                        cmap, code_bytes = parse_tounicode(doc.stream_data(cm))
-                font_cache[key] = Font(cmap, code_bytes)
+                        raw_cmap = doc.stream_data(cm)
+                font_cache[key] = Font(raw_cmap=raw_cmap)
             fonts[name.lstrip("/")] = font_cache[key]
         return fonts
 
