@@ -809,6 +809,17 @@ def q_rag_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     return topk.crossJoin(F.broadcast(gate))
 
 
+@query("approx_distinct_users")  # HLL sketch values are engine-specific — rows-only
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) next to the exact count — the sketch path
+    for 10^12-scale distinct counting (pytest pins relative error ≤5%)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @query("ann_ivf_kmeans_topk")  # iterative algorithm — rows-only (numpy twin in tests)
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with a REAL k-means coarse quantizer (deterministic Lloyd's as

@@ -135,3 +135,13 @@ def test_simhash_neardup(spark):
     pairs = simhash_neardup_pairs(df, "doc_id", "text", max_hamming=12, prefix_bits=4)
     got = [(p["id_a"], p["id_b"]) for p in pairs.collect()]
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from pdf_parser_benchmark_spark.queries import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel <= 0.05, (r["event_type"], rel)

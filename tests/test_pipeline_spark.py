@@ -126,3 +126,25 @@ def test_manifest_compaction(spark, pages, tmp_path):
     # resume still recognizes everything as complete
     r = run_pipeline(spark, pages, out, mani, n_splits=8)
     assert r["splits_done"] == 0
+
+
+def test_output_compaction(spark, pages, tmp_path):
+    from pdf_parser_benchmark_spark.sources.compact import (
+        compact_output,
+        output_file_stats,
+    )
+
+    out, mani = str(tmp_path / "outD"), str(tmp_path / "maniD")
+    run_pipeline(spark, pages, out, mani, n_splits=4, commit_batches=4,
+                 n_tasks=8)
+    before = {r["split_id"]: r["n_files"]
+              for r in output_file_stats(spark, out).collect()}
+    assert any(n > 1 for n in before.values())
+    content_before = _canon_map(spark.read.parquet(out))
+
+    res = compact_output(spark, out, min_files=2)
+    assert res["compacted_splits"] >= 1
+    after = {r["split_id"]: r["n_files"]
+             for r in output_file_stats(spark, out).collect()}
+    assert all(n == 1 for n in after.values())
+    assert _canon_map(spark.read.parquet(out)) == content_before
