@@ -1366,6 +1366,40 @@ def q_median_value_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# SQL-API parity: ONE dialect-portable ANSI SQL text executed verbatim by
+# BOTH engines (spark.sql on a temp view / the DuckDB oracle) — Catalyst
+# produces the same plan as the DataFrame API (guide: "SQL API")
+# ===========================================================================
+
+_PORTABLE_PRICING_SQL = """SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus"""
+
+_PORTABLE_TOPK_SQL = """SELECT user_id, event_id, round(value, 6) AS score
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) ranked WHERE rn <= 3"""
+
+
+@query("sql_api_pricing", _PORTABLE_PRICING_SQL)
+def q_sql_api_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """The oracle SQL string itself, executed by Spark SQL verbatim."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PORTABLE_PRICING_SQL)
+
+
+@query("sql_api_topk", _PORTABLE_TOPK_SQL)
+def q_sql_api_topk(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_PORTABLE_TOPK_SQL)
+
+
+# ===========================================================================
 # extraction pipeline (rows-only: not SQL-expressible)
 # ===========================================================================
 
