@@ -279,6 +279,21 @@ def q_normalize_title(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "nfkd_fold",
+    """SELECT doc_id,
+       strip_accents('café münchen niño reçu ' || substr(text, 1, 20)) AS folded
+FROM documents""",
+)
+def q_nfkd_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """P12's NFKD→ascii fold (/root/reference/data/pdfs/rename_pdfs.py:31)
+    as a Series→Series pandas UDF; oracle via DuckDB strip_accents (equal on
+    decomposable latin accents)."""
+    docs = _t(spark, sf, "documents")
+    noisy = F.concat(F.lit("café münchen niño reçu "), F.substring("text", 1, 20))
+    return docs.select("doc_id", TXT.nfkd_ascii(noisy).alias("folded"))
+
+
+@query(
     "cache_key",
     """SELECT doc_id,
        sha256(substr(text, 1, 40) || ':' || 'text-embedding-3-large' || ':' || '5') AS key
