@@ -791,7 +791,7 @@ filtered AS (
 ),
 ranked AS (
   SELECT vec_id, label,
-         round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS score,
+         round(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 4) AS score,
          row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id) AS rank
   FROM filtered
 )
@@ -899,7 +899,7 @@ def q_adaptive_retry_topk(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "embedding_neardup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
 )
