@@ -33,9 +33,9 @@ def _normalize(df):
         vals = []
         for c in cols:
             v = r[c]
-            if isinstance(v, float):
-                v = "nan" if math.isnan(v) else round(v, 4)
-            vals.append(v)
+            if isinstance(v, float) and math.isnan(v):
+                v = "nan"
+            vals.append(v)  # EXACT values — floats must match bitwise
         out.append(tuple(vals))
     return cols, sorted(out, key=repr)
 

@@ -26,12 +26,9 @@ def normalize(rows, cols):
         vals = []
         for c in sorted(cols):
             v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 4)
-            vals.append((c, v))
+            if isinstance(v, float) and math.isnan(v):
+                v = "nan"
+            vals.append((c, v))  # EXACT values — floats must match bitwise
         out.append(tuple(vals))
     return sorted(out, key=repr)
 
