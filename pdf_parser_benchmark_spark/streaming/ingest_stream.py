@@ -71,6 +71,12 @@ def windowed_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (broadcast)
+    dimension snapshot — the streaming twin of the manifest equi-join J1."""
+    return events_stream.join(F.broadcast(dim), "user_id", "left")
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_tsec", T.LongType()),

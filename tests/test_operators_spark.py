@@ -145,3 +145,23 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel <= 0.05, (r["event_type"], rel)
+
+
+def test_minhash_xxhash64_prod_path(spark):
+    """The xxhash64 production hash family finds the same clear near-dups
+    as the md5 oracle family."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    far = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    from pdf_parser_benchmark_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(df, "doc_id", "text", k=16, hash_fn="xxhash64")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sig, 4, 4).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs

@@ -148,3 +148,16 @@ def test_output_compaction(spark, pages, tmp_path):
              for r in output_file_stats(spark, out).collect()}
     assert all(n == 1 for n in after.values())
     assert _canon_map(spark.read.parquet(out)) == content_before
+
+
+def test_map_in_arrow_matches_pandas_path(spark, pages):
+    from pdf_parser_benchmark_spark.plans.pipeline import (
+        extract_pages_arrow,
+        extract_pages_slim,
+    )
+
+    a = {r["url"]: r["fp"]
+         for r in extract_pages_slim(pages, n_splits=8).collect()}
+    b = {r["url"]: r["fp"]
+         for r in extract_pages_arrow(pages, n_splits=8).collect()}
+    assert a == b and len(a) == N_ROWS

@@ -130,3 +130,31 @@ def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path):
         for r in QUERIES["sessionize"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    from pdf_parser_benchmark_spark.streaming.ingest_stream import enrich_with_dim
+
+    ev_dir = str(tmp_path / "ev3")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(ev_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema
+    ).parquet(ev_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    q = (
+        enrich_with_dim(stream, dim)
+        .writeStream.trigger(availableNow=True)
+        .format("memory").queryName("enriched").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched")
+    assert got.count() == spark.read.parquet(ev_dir).count()
+    assert got.filter(F.col("segment").isNull()).count() == 0
+    one = got.limit(5).collect()
+    assert all(r["segment"] == r["user_id"] % 3 for r in one)
