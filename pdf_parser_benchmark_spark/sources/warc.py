@@ -1,0 +1,132 @@
+"""From-scratch WARC source (ISO 28500 subset): .warc / .warc.gz files →
+the pages input table (url, warc_ts, html, text, lang).
+
+This is the missing first hop of the Common-Crawl story: CC ships crawl
+data as WARC files whose records are independent gzip members. The reader
+is a distributed binaryFile scan + an Arrow-batched record splitter:
+
+    spark.read.format("binaryFile").load(glob)       # one row per file
+      → mapInPandas(_split_records)                  # N response rows each
+
+Task granularity is file-level (WARC files are ~1 GB in CC; thousands of
+files ⇒ thousands of tasks — the same zero-shuffle scaling story as the
+pages table). Record parsing is tolerant: malformed records are skipped
+and counted, never fatal.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from datetime import datetime
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..synth.pages import PAGES_SCHEMA
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members one member at a
+    time (the CC per-record framing)."""
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)
+        out = d.decompress(data[pos:])
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (header dict, payload bytes) per record from plain WARC bytes.
+    Handles the version line, header block, Content-Length framing, and the
+    two-CRLF record separator."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not data.startswith(b"WARC/", pos):
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                    "latin-1"
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        payload = data[body_start : body_start + length]
+        yield headers, payload
+        pos = body_start + length
+
+
+def _strip_http_headers(payload: bytes) -> bytes:
+    """response records embed the HTTP response; the body follows the first
+    blank line."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload[:5] in (b"HTTP/",):
+        return payload
+    return payload[sep + 4 :]
+
+
+def parse_warc_file(data: bytes) -> list[dict]:
+    """One WARC file (plain or per-record-gzip) → pages-schema row dicts."""
+    if data[:2] == _GZIP_MAGIC:
+        plain = b"".join(split_gzip_members(data))
+    else:
+        plain = data
+    rows: list[dict] = []
+    for headers, payload in iter_warc_records(plain):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = None
+        body = _strip_http_headers(payload)
+        rows.append(
+            {"url": url, "warc_ts": ts, "html": body, "text": None, "lang": None}
+        )
+    return rows
+
+
+def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WARC ingestion → pages table."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            out: list[dict] = []
+            for content in b["content"]:
+                try:
+                    out.extend(parse_warc_file(bytes(content)))
+                except Exception:
+                    continue  # malformed file: skip, never fatal
+            yield pd.DataFrame(
+                out,
+                columns=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return files.mapInPandas(split, schema=PAGES_SCHEMA)
