@@ -203,13 +203,39 @@ def source_stem(url: str) -> str:
     return stem.rsplit(".", 1)[0] if "." in stem else stem
 
 
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.I
+)
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def decode_html_payload(payload: bytes) -> str:
+    """Charset sniffing: BOM → <meta charset> in the first 2048 bytes →
+    UTF-8 with replacement (the WHATWG-ish precedence order)."""
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return payload[len(bom):].decode(enc, errors="replace")
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        try:
+            return payload.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    return payload.decode("utf-8", errors="replace")
+
+
 def extract_document(url: str, payload: bytes) -> dict:
     """One document end-to-end: route by magic bytes (two-path union U1,
     ingest.py:150-207 analog), parse, assemble."""
     if is_pdf(payload):
         chunks = pdf_pages_to_chunks(parse_pdf(payload))
         return assemble(url, chunks, parser="pdf")
-    html = payload.decode("utf-8", errors="replace")
+    html = decode_html_payload(payload)
     return assemble(url, html_to_chunks(html), parser="html")
 
 

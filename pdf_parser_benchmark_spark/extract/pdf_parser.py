@@ -211,6 +211,78 @@ class _Stream:
     raw: bytes
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF flavor: 8-bit codes grown 9→12 bits, EarlyChange=1,
+    256=clear, 257=EOD) — TIFF/PDF LZW per the public spec."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                prev = None
+                width = 9
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1: widen one code early
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode: <n<128: copy n+1 literal bytes; n>128: repeat next
+    byte 257-n times; 128: EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexs = re.sub(rb"\s", b"", body)
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    body = re.sub(rb"\s", b"", body)
+    return base64.a85decode(body, adobe=False)
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
     """Reverse PNG row predictors (None/Sub/Up/Average/Paeth) — used by
     FlateDecode with /Predictor ≥ 10 (common in xref/object streams)."""
@@ -329,6 +401,19 @@ class PdfDocument:
         for f, pm in zip(filters, parms_list):
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+            elif f in ("/LZWDecode", "/LZW"):
+                data = _lzw_decode(data)
+            elif f in ("/RunLengthDecode", "/RL"):
+                data = _rle_decode(data)
+            elif f in ("/ASCIIHexDecode", "/AHx"):
+                data = _ascii_hex_decode(data)
+            elif f in ("/ASCII85Decode", "/A85"):
+                data = _ascii85_decode(data)
+            elif f in (None,):
+                pass
+            else:
+                raise ValueError(f"unsupported filter {f}")
+            if f in ("/FlateDecode", "/LZWDecode", "/LZW"):
                 pm = self.resolve(pm)
                 if isinstance(pm, dict) and int(self.resolve(pm.get("/Predictor")) or 1) >= 10:
                     data = _png_unpredict(
@@ -337,10 +422,6 @@ class PdfDocument:
                         colors=int(self.resolve(pm.get("/Colors")) or 1),
                         bpc=int(self.resolve(pm.get("/BitsPerComponent")) or 8),
                     )
-            elif f in (None,):
-                pass
-            else:
-                raise ValueError(f"unsupported filter {f}")
         return data
 
     # -- page tree ---------------------------------------------------------

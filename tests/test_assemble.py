@@ -150,3 +150,27 @@ def test_extract_document_routing():
     rec2 = extract_document("https://x.example/a.pdf", pdf)
     assert rec2["meta"]["parser"] == "pdf"
     assert rec2["text"] == "pdf body"
+
+
+def test_charset_sniffing():
+    from pdf_parser_benchmark_spark.extract.assemble import decode_html_payload
+
+    latin = '<meta charset="iso-8859-1"><main><p>café münchen</p></main>'.encode(
+        "iso-8859-1"
+    )
+    assert "café münchen" in decode_html_payload(latin)
+    bom_utf16 = "﻿<main><p>héllo</p></main>".encode("utf-16-le")
+    # BOM prefix: utf-16-le BOM is FF FE
+    assert "héllo" in decode_html_payload(bom_utf16)
+    plain = "<main><p>plain utf-8 é</p></main>".encode("utf-8")
+    assert "é" in decode_html_payload(plain)
+    bad = b'<meta charset="no-such-enc"><p>fallback</p>'
+    assert "fallback" in decode_html_payload(bad)
+
+
+def test_charset_extraction_end_to_end():
+    latin = (
+        '<meta charset="iso-8859-1"><main><p>café content here today</p></main>'
+    ).encode("iso-8859-1")
+    rec = extract_document("https://h.example/x.html", latin)
+    assert rec["text"] == "café content here today"
