@@ -69,15 +69,20 @@ def strip_boilerplate(
     kept = lines.withColumn("sline", F.trim("line")).join(
         boiler, ["doc", "sline"], "left_anti"
     )
-    return (
-        kept.groupBy("doc", "page")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("clean_text")
-        )
+    agg = kept.groupBy("doc", "page").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    # pages whose every line was boilerplate must survive as empty text
+    # (reference keeps the document with text='', CLAUDE.md:205-210)
+    all_pages = pages.select(
+        F.col(doc_col).alias("doc"), F.col(page_col).alias("page")
+    )
+    return all_pages.join(agg, ["doc", "page"], "left").select(
+        "doc", "page", F.coalesce("clean_text", F.lit("")).alias("clean_text")
     )

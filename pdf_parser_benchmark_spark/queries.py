@@ -120,9 +120,13 @@ kept AS (
   SELECT l.doc, l.page, l.pos, l.line FROM lines l
   LEFT JOIN boiler b ON l.doc = b.doc AND trim(l.line) = b.sline
   WHERE b.sline IS NULL
+),
+agg AS (
+  SELECT doc, page, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc, page
 )
-SELECT doc, page, string_agg(line, chr(10) ORDER BY pos) AS clean_text
-FROM kept GROUP BY doc, page""",
+SELECT p.doc, p.page, coalesce(agg.clean_text, '') AS clean_text
+FROM pages p LEFT JOIN agg ON p.doc = agg.doc AND p.page = agg.page""",
 )
 def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     """A1 (/root/reference/CLAUDE.md:195-211): strip repeated short lines."""

@@ -165,3 +165,37 @@ def test_minhash_xxhash64_prod_path(spark):
     pairs = {(r["id_a"], r["id_b"])
              for r in lsh_candidate_pairs(sig, 4, 4).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_boilerplate_operator_matches_pure_python_on_generated(spark):
+    """Differential: the DataFrame A1 operator equals the in-UDF pure-python
+    twin (extract.assemble) on 20 generated multi-page documents."""
+    import random
+
+    from pdf_parser_benchmark_spark.extract.assemble import (
+        boilerplate_lines as py_boiler,
+        strip_boilerplate_text,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    expected = {}
+    for d in range(20):
+        n_pages = rng.randint(2, 9)
+        hdr = f"HDR-{d}" if rng.random() < 0.7 else None
+        pages = []
+        for p in range(n_pages):
+            lines = [f"body {d} {p} {i}" for i in range(rng.randint(1, 4))]
+            if hdr and rng.random() < 0.9:
+                lines.insert(0, hdr)
+            pages.append("\n".join(lines))
+        boiler = py_boiler(pages)
+        for p, t in enumerate(pages):
+            rows.append((f"doc{d}", p, t))
+            expected[(f"doc{d}", p)] = strip_boilerplate_text(t, boiler)
+    df = spark.createDataFrame(rows, "doc string, page int, text string")
+    got = {
+        (r["doc"], r["page"]): r["clean_text"]
+        for r in strip_boilerplate(df, "doc", "page", "text").collect()
+    }
+    assert got == expected
