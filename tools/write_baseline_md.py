@@ -72,6 +72,10 @@ independent N→4N pairs:
 | 4 → 16 cores | {e416_med} | {e416_best} | {"PASS" if max(e416_med, e416_best) >= 0.8 else "FAIL"} |
 | 8 → 32 cores | {e832_med} | {e832_best} | {"PASS" if max(e832_med, e832_best) >= 0.8 else "FAIL"} |
 
+(A median-based value above 1.0 is not real super-linearity — it means the
+smaller level's trials were interference-hit; the best-based column is the
+bounded estimator.)
+
 Honest reading of the two pairs:
 - the 4→16 pair is the cleaner stand-in for "N vs 4N executors": neither
   level saturates the whole machine, so per-core clock/cache conditions are
