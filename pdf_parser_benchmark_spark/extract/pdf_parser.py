@@ -327,10 +327,20 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 class PdfDocument:
+    """Object access: a tolerant full scan discovers every `N G obj`
+    occurrence (robust against broken xref); when a valid xref chain exists
+    (classic tables and/or /Prev-linked sections), it decides WHICH
+    occurrence of a multiply-defined object is live — this is the one case
+    scanning alone gets wrong: an incremental update whose new xref points
+    BACK at an older offset (a revert). Without a usable chain, the last
+    occurrence wins (ordinary incremental-update semantics)."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, object] = {}
+        self._occurrences: dict[int, list[tuple[int, object]]] = {}
         self._scan_objects()
+        self._apply_xref_chain()
         self._expand_object_streams()
 
     def _scan_objects(self) -> None:
@@ -339,6 +349,7 @@ class PdfDocument:
         writer's xref is, of course, valid)."""
         for m in _OBJ_RE.finditer(self.data):
             num = int(m.group(1))
+            start_off = m.start()
             lex = _Lexer(self.data, m.end())
             try:
                 obj = lex.parse_object()
@@ -362,6 +373,76 @@ class PdfDocument:
                     raw = self.data[p:end].rstrip(b"\r\n")
                 obj = _Stream(obj, raw)
             self.objects[num] = obj
+            self._occurrences.setdefault(num, []).append((start_off, obj))
+
+    # -- xref chain (classic tables; decides liveness on duplicates) -------
+
+    def _parse_xref_table(self, pos: int) -> tuple[dict[int, int], int | None]:
+        """Parse one classic `xref` section at pos → (num→offset for in-use
+        entries, /Prev offset or None)."""
+        live: dict[int, int] = {}
+        lex = _Lexer(self.data, pos + 4)  # skip 'xref'
+        while True:
+            lex._skip_ws()
+            m = re.compile(rb"(\d+)\s+(\d+)").match(self.data, lex.pos)
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            lex.pos = m.end()
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos : lex.pos + 20]
+                if len(entry) < 18:
+                    return live, None
+                try:
+                    off = int(entry[:10])
+                    kind = entry[17:18]
+                except ValueError:
+                    return live, None
+                if kind == b"n":
+                    live[start + i] = off
+                lex.pos += 20  # spec: every entry is exactly 20 bytes
+        # trailer dict may carry /Prev
+        tpos = self.data.find(b"trailer", pos)
+        prev = None
+        if tpos >= 0:
+            try:
+                tlex = _Lexer(self.data, tpos + 7)
+                tdict = tlex.parse_object()
+                if isinstance(tdict, dict) and isinstance(tdict.get("/Prev"), int):
+                    prev = tdict["/Prev"]
+            except Exception:
+                prev = None
+        return live, prev
+
+    def _apply_xref_chain(self) -> None:
+        """Walk startxref → xref (→ /Prev …); newest section wins per object.
+        Where the chain names an offset for a multiply-defined object, the
+        occurrence AT that offset becomes live (handles reverts)."""
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", self.data):
+            pass  # keep the LAST startxref (the newest update)
+        if m is None:
+            return
+        live: dict[int, int] = {}
+        pos = int(m.group(1))
+        for _ in range(16):  # bounded /Prev chain
+            if not (0 <= pos < len(self.data)) or self.data[pos : pos + 4] != b"xref":
+                return  # xref-stream or corrupt → keep scan semantics
+            section, prev = self._parse_xref_table(pos)
+            for num, off in section.items():
+                live.setdefault(num, off)  # newest-first: first seen wins
+            if prev is None:
+                break
+            pos = prev
+        for num, off in live.items():
+            occs = self._occurrences.get(num)
+            if not occs or len(occs) == 1:
+                continue
+            for ooff, obj in occs:
+                if ooff == off:
+                    self.objects[num] = obj
+                    break
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5 /ObjStm: decompress and register the packed objects

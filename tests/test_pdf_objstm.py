@@ -86,12 +86,13 @@ def test_form_xobject_do_executed():
     assert "form xobject text\nsecond form line" in texts
 
 
-def test_incremental_update_shadows_earlier_object():
-    """Appended (incremental-update) object definitions win — the scan
-    registers later `N 0 obj` bodies over earlier ones, matching xref-chain
-    precedence for updated documents."""
+def test_incremental_update_resolution_regimes():
+    """Two regimes for appended duplicate definitions:
+    - a VALID xref chain governs: an appended body with no xref entry is
+      dead, the chain's offset (the original) stays live (spec semantics);
+    - no usable chain (corrupt startxref): tolerant scan semantics —
+      the last definition wins."""
     base = build_pdf([lines_page(["original text"], compress=False)])
-    # find the CONTENT stream's object number (the one holding our text)
     import re
 
     objnum = None
@@ -107,5 +108,54 @@ def test_incremental_update_shadows_earlier_object():
         + b"\nendstream\nendobj\n"
     )
     patched = base + update
-    texts = [b.text() for b in parse_pdf(patched)[0].blocks]
-    assert texts == ["updated text"]
+    # valid chain: original xref still governs — appended body is dead
+    assert [b.text() for b in parse_pdf(patched)[0].blocks] == ["original text"]
+    # corrupt the chain: tolerant scan, last definition wins
+    broken = patched.replace(b"startxref", b"startXBAD")
+    assert [b.text() for b in parse_pdf(broken)[0].blocks] == ["updated text"]
+
+
+def test_xref_chain_resolves_revert_to_older_object():
+    """An incremental update can REVERT an object by pointing its new xref
+    entry back at the ORIGINAL offset. A last-definition-wins scan picks the
+    wrong body; the xref chain picks the right one."""
+    import re
+
+    base = build_pdf([lines_page(["original text"], compress=False)])
+    objnum = None
+    for m in re.finditer(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n", base):
+        end = base.find(b"endstream", m.end())
+        if b"original text" in base[m.end() : end]:
+            objnum = int(m.group(1))
+            orig_offset = m.start()
+    assert objnum is not None
+    root = int(re.search(rb"/Root (\d+) 0 R", base).group(1))
+    old_startxref = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+
+    # update 1: shadow with new content (appended definition)
+    new_stream = b"BT /F1 11 Tf 72 700 Td (shadowed text) Tj ET"
+    upd = bytearray(base)
+    upd += b"\n"
+    shadow_off = len(upd)
+    upd += (
+        b"%d 0 obj\n<< /Length %d >>\nstream\n" % (objnum, len(new_stream))
+        + new_stream + b"\nendstream\nendobj\n"
+    )
+    xref1_off = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n"
+    upd += b"%d 1\n%010d 00000 n \n" % (objnum, shadow_off)
+    upd += b"trailer\n<< /Size 99 /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        root, old_startxref, xref1_off)
+    shadowed = bytes(upd)
+    assert [b.text() for b in parse_pdf(shadowed)[0].blocks] == ["shadowed text"]
+
+    # update 2: REVERT — new xref points the object back at its original offset
+    upd2 = bytearray(shadowed)
+    xref2_off = len(upd2)
+    upd2 += b"xref\n0 1\n0000000000 65535 f \n"
+    upd2 += b"%d 1\n%010d 00000 n \n" % (objnum, orig_offset)
+    upd2 += b"trailer\n<< /Size 99 /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        root, xref1_off, xref2_off)
+    reverted = bytes(upd2)
+    # scan-only semantics would say "shadowed text"; the xref chain reverts
+    assert [b.text() for b in parse_pdf(reverted)[0].blocks] == ["original text"]
