@@ -415,23 +415,88 @@ class PdfDocument:
                 prev = None
         return live, prev
 
+    def _parse_xref_stream(self, pos: int) -> tuple[dict[int, int], dict[int, tuple[int, int]], int | None]:
+        """Parse a PDF 1.5 /Type /XRef stream at pos → (type-1 num→offset,
+        type-2 num→(container objnum, index), /Prev or None)."""
+        m = _OBJ_RE.match(self.data, pos)
+        if not m:
+            raise ValueError("no object at xref-stream offset")
+        lex = _Lexer(self.data, m.end())
+        d = lex.parse_object()
+        if not isinstance(d, dict) or d.get("/Type") != "/XRef":
+            raise ValueError("not an xref stream")
+        lex._skip_ws()
+        if self.data[lex.pos : lex.pos + 6] != b"stream":
+            raise ValueError("xref stream body missing")
+        p = lex.pos + 6
+        if self.data[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.data[p : p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = d.get("/Length")
+        raw = self.data[p : p + int(length)] if isinstance(length, int) else (
+            self.data[p : self.data.find(b"endstream", p)].rstrip(b"\r\n")
+        )
+        data = self.stream_data(_Stream(d, raw))
+        w = [int(x) for x in d.get("/W", [1, 1, 1])]
+        size = int(d.get("/Size", 0))
+        index = d.get("/Index", [0, size])
+        rowlen = sum(w)
+
+        def field(row: bytes, i: int) -> int:
+            off = sum(w[:i])
+            return int.from_bytes(row[off : off + w[i]], "big") if w[i] else (
+                1 if i == 0 else 0  # omitted type field defaults to 1
+            )
+
+        offsets: dict[int, int] = {}
+        in_stm: dict[int, tuple[int, int]] = {}
+        rowpos = 0
+        for k in range(0, len(index), 2):
+            start, count = int(index[k]), int(index[k + 1])
+            for i in range(count):
+                row = data[rowpos : rowpos + rowlen]
+                rowpos += rowlen
+                if len(row) < rowlen:
+                    break
+                t = field(row, 0)
+                if t == 1:
+                    offsets[start + i] = field(row, 1)
+                elif t == 2:
+                    in_stm[start + i] = (field(row, 1), field(row, 2))
+        prev = d.get("/Prev") if isinstance(d.get("/Prev"), int) else None
+        return offsets, in_stm, prev
+
     def _apply_xref_chain(self) -> None:
-        """Walk startxref → xref (→ /Prev …); newest section wins per object.
-        Where the chain names an offset for a multiply-defined object, the
-        occurrence AT that offset becomes live (handles reverts)."""
+        """Walk startxref → xref table or /Type /XRef stream (→ /Prev …);
+        newest section wins per object. Type-1 entries make the occurrence
+        AT that offset live (handles reverts); type-2 entries make the
+        ObjStm-packed copy live (resolved in _expand_object_streams)."""
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", self.data):
             pass  # keep the LAST startxref (the newest update)
         if m is None:
             return
         live: dict[int, int] = {}
+        self._live_in_objstm: dict[int, tuple[int, int]] = {}
         pos = int(m.group(1))
         for _ in range(16):  # bounded /Prev chain
-            if not (0 <= pos < len(self.data)) or self.data[pos : pos + 4] != b"xref":
-                return  # xref-stream or corrupt → keep scan semantics
-            section, prev = self._parse_xref_table(pos)
+            if not (0 <= pos < len(self.data)):
+                return
+            if self.data[pos : pos + 4] == b"xref":
+                section, prev = self._parse_xref_table(pos)
+                stm_section: dict[int, tuple[int, int]] = {}
+            else:
+                try:
+                    section, stm_section, prev = self._parse_xref_stream(pos)
+                except Exception:
+                    return  # corrupt → keep tolerant scan semantics
             for num, off in section.items():
-                live.setdefault(num, off)  # newest-first: first seen wins
+                if num not in live and num not in self._live_in_objstm:
+                    live[num] = off
+            for num, loc in stm_section.items():
+                if num not in live and num not in self._live_in_objstm:
+                    self._live_in_objstm[num] = loc
             if prev is None:
                 break
             pos = prev
@@ -446,7 +511,10 @@ class PdfDocument:
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5 /ObjStm: decompress and register the packed objects
-        (header = N pairs of 'objnum offset', payload starts at /First)."""
+        (header = N pairs of 'objnum offset', payload starts at /First).
+        Objects the xref chain marked live-in-objstm OVERRIDE direct
+        occurrences; otherwise direct objects win (tolerant policy)."""
+        live_stm = getattr(self, "_live_in_objstm", {})
         for obj in list(self.objects.values()):
             if not isinstance(obj, _Stream) or obj.dict.get("/Type") != "/ObjStm":
                 continue
@@ -459,7 +527,7 @@ class PdfDocument:
                     (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
                 ]
                 for num, off in pairs:
-                    if num in self.objects:
+                    if num in self.objects and num not in live_stm:
                         continue  # direct objects win (tolerant policy)
                     lex = _Lexer(data, first + off)
                     self.objects[num] = lex.parse_object()

@@ -147,11 +147,20 @@ def _content_stream(page: PageSpec) -> bytes:
     return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(pages: list[PageSpec], use_object_streams: bool = False) -> bytes:
+def build_pdf(
+    pages: list[PageSpec],
+    use_object_streams: bool = False,
+    use_xref_stream: bool = False,
+) -> bytes:
     """Assemble a complete PDF file with a correct xref table.
 
     use_object_streams=True packs all non-stream objects into a PDF 1.5
-    /ObjStm (exercises the parser's compressed-object path)."""
+    /ObjStm (exercises the parser's compressed-object path).
+    use_xref_stream=True (implies object streams) emits a pure PDF 1.5
+    file: a /Type /XRef stream trailer with type-1/type-2 entries and NO
+    classic xref/trailer."""
+    if use_xref_stream:
+        use_object_streams = True
     objects: list[bytes] = []  # 1-indexed bodies, object n = objects[n-1]
 
     def add(body: bytes) -> int:
@@ -260,6 +269,35 @@ def build_pdf(pages: list[PageSpec], use_object_streams: bool = False) -> bytes:
                 continue
             offsets_map[i] = len(buf)
             buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+
+        if use_xref_stream:
+            # /Type /XRef stream trailer: W=[1,4,2]; type 0 = free,
+            # type 1 = offset, type 2 = (objstm objnum, index-in-stream)
+            xref_num = len(objects) + 1
+            xref_off = len(buf)
+            size = xref_num + 1
+            idx_in_stm = {n: i for i, n in enumerate(packed_nums)}
+            rows = bytearray()
+            for num in range(size):
+                if num == 0:
+                    rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+                elif num in idx_in_stm:
+                    rows += b"\x02" + objstm_num.to_bytes(4, "big") + idx_in_stm[num].to_bytes(2, "big")
+                elif num == xref_num:
+                    rows += b"\x01" + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+                else:
+                    rows += b"\x01" + offsets_map[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+            xcomp = zlib.compress(bytes(rows))
+            buf += (
+                b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (xref_num, size, catalog_num, len(xcomp))
+                + xcomp
+                + b"\nendstream\nendobj\n"
+            )
+            buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+            return bytes(buf)
+
         xref_off = len(buf)
         # classic trailer alongside (hybrid) — our reader scans objects, but
         # the file stays navigable

@@ -159,3 +159,34 @@ def test_xref_chain_resolves_revert_to_older_object():
     reverted = bytes(upd2)
     # scan-only semantics would say "shadowed text"; the xref chain reverts
     assert [b.text() for b in parse_pdf(reverted)[0].blocks] == ["original text"]
+
+
+def test_xref_stream_file_parses_identically():
+    """Pure PDF 1.5: /Type /XRef stream trailer (no classic xref), packed
+    objects referenced by type-2 entries."""
+    classic = parse_pdf(build_pdf(SPECS))
+    x = build_pdf(SPECS, use_xref_stream=True)
+    assert b"/Type /XRef" in x and b"\ntrailer\n" not in x
+    assert _sig(parse_pdf(x)) == _sig(classic)
+
+
+def test_xref_stream_governs_liveness():
+    """With an xref stream present, a dangling appended duplicate (no xref
+    entry) stays dead — same spec semantics as classic chains."""
+    import re
+
+    base = build_pdf([lines_page(["original text"], compress=False)],
+                     use_xref_stream=True)
+    m = None
+    for m2 in re.finditer(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n", base):
+        end = base.find(b"endstream", m2.end())
+        if b"original text" in base[m2.end():end]:
+            m = m2
+    assert m is not None
+    objnum = int(m.group(1))
+    new_stream = b"BT /F1 11 Tf 72 700 Td (updated text) Tj ET"
+    patched = base + (
+        b"\n%d 0 obj\n<< /Length %d >>\nstream\n" % (objnum, len(new_stream))
+        + new_stream + b"\nendstream\nendobj\n"
+    )
+    assert [b.text() for b in parse_pdf(patched)[0].blocks] == ["original text"]
