@@ -4,11 +4,15 @@ Five strategies, all shuffle-conscious:
 
 - exact: groupBy a text hash, keep min id. One shuffle of (hash, id) pairs
   only — never shuffles document bodies.
-- MinHash + LSH: word-shingles → K md5-seeded min-hashes → B bands of R →
+- MinHash + LSH: word-shingles → ONE 60-bit base hash per shingle (md5 hex
+  prefix, or xxhash64 on the prod path) → K universal-hash variants
+  h_i = (a_i·x + b_i) mod p (p = 2^31−1) → min per doc → B bands of R →
   bucket id per band → self-join on (band, bucket) yields candidate pairs →
-  exact Jaccard verify. md5-as-hash keeps every stage reproducible in ANSI
-  SQL (DuckDB oracle). Banding math is the standard Broder/LSH scheme
-  (public literature: Broder 1997; MMDS ch.3).
+  exact Jaccard verify, arrays attached only to candidate ids (semi-join
+  first — never shuffles shingle arrays for non-candidates). The md5 base
+  keeps every stage reproducible in ANSI SQL (DuckDB oracle); the affine
+  family is the standard universal-hashing MinHash construction (public
+  literature: Broder 1997; Carter–Wegman; MMDS ch.3).
 - SimHash: 64-bit sign-aggregated fingerprint via md5(word) bits; near-dups
   = hamming distance ≤ t on bucketed prefixes.
 - n-gram Jaccard: exact verify metric, also standalone within a blocking
@@ -47,6 +51,113 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = 2_147_483_647  # 2^31 − 1, Mersenne prime — a·x+b stays < 2^63
+
+
+def minhash_affine_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the Carter–Wegman universal hash
+    family h_i(x) = (a_i·x + b_i) mod p. Shared by the Spark expressions and
+    the generated DuckDB oracle SQL, so both sides are bit-identical."""
+    return [
+        (
+            (i * 1_103_515_245 + 12_345) % (MINHASH_P - 1) + 1,
+            (i * 134_775_813 + 1) % MINHASH_P,
+        )
+        for i in range(k)
+    ]
+
+
+def _base_hash(sh: Column, hash_fn: str) -> Column:
+    """60-bit non-negative base hash of a shingle, reduced mod p.
+
+    'md5': first 15 hex chars of md5 → bigint (ANSI-SQL-reproducible, the
+    oracle path). 'xxhash64': one JVM xxhash64 (prod path — no string work)."""
+    if hash_fn == "md5":
+        x = F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint")
+    else:
+        x = F.xxhash64(sh)
+    return F.pmod(x, F.lit(MINHASH_P))
+
+
+def _spread(df: DataFrame, key: str = "id") -> DataFrame:
+    """Hash-repartition a CPU-heavy stage across all cores when the input
+    arrives under-partitioned (e.g. one small parquet file → one split).
+    No-op at scale: real inputs have ≥ cores splits, and when the condition
+    does fire the repartition keys on `key`, so the downstream groupBy(key)
+    reuses the exchange instead of shuffling again."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3) -> DataFrame:
+    """→ (id, sh array<string>): the distinct word-shingle set per doc.
+    The spread happens BEFORE the shingle projection so the CPU-heavy
+    expression work lands on all cores, not on the single input split."""
+    slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    return slim.select("id", shingles(F.col("t"), shingle_k).alias("sh"))
+
+
+def minhash_signature_from_shingles(
+    docs: DataFrame,
+    k: int = 16,
+    hash_fn: str = "md5",
+    dedup_shingles: bool = False,
+) -> DataFrame:
+    """(id, sh array) → (id, sig array<bigint> of length k):
+    sig[i] = min over shingles of (a_i·base(sh) + b_i) mod p.
+
+    ZERO-SHUFFLE: the whole signature is one fold over the in-row shingle
+    array — transform(sh, base) evaluates ONE base hash per shingle, then
+    the aggregate lambda merges the k affine variants with a zip_with/least
+    accumulator. No explode, no groupBy: the stage is embarrassingly
+    parallel per document, which is exactly what you want in front of the
+    banded self-join at corpus scale.
+
+    dedup_shingles=True instead hashes each DISTINCT shingle once via
+    explode+join — a win only when the shingle vocabulary is much smaller
+    than the total shingle count (template-heavy corpora); it costs two
+    shuffles, so the default in-row fold is preferred otherwise."""
+    params = minhash_affine_params(k)
+    if dedup_shingles:
+        sh = docs.select("id", F.explode("sh").alias("s"))
+        hashed = (
+            sh.select("s")
+            .distinct()
+            .withColumn("xm", _base_hash(F.col("s"), hash_fn))
+            .select(
+                "s",
+                *[
+                    ((F.lit(a) * F.col("xm") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                        f"hh{i}"
+                    )
+                    for i, (a, b) in enumerate(params)
+                ],
+            )
+        )
+        joined = sh.join(hashed, "s")
+        aggs = [F.min(F.col(f"hh{i}")).alias(f"h{i}") for i in range(k)]
+        sig = joined.groupBy("id").agg(*aggs)
+        return sig.select(
+            "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+        )
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(k)])
+    sig_expr = F.aggregate(
+        F.transform(F.col("sh"), lambda s: _base_hash(s, hash_fn)),
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[(F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P) for a, b in params]
+            ),
+            lambda u, v: F.least(u, v),
+        ),
+    )
+    return docs.select("id", sig_expr.alias("sig"))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -56,38 +167,14 @@ def minhash_signature(
     hash_fn: str = "md5",
     dedup_shingles: bool = False,
 ) -> DataFrame:
-    """→ (id, sig array<string> of length k): sig[i] = min(hash(i||shingle)).
-
-    hash_fn='md5' keeps every stage reproducible in ANSI SQL (the DuckDB
-    oracle); hash_fn='xxhash64' is the production path — one cheap 64-bit
-    hash per (seed, shingle) instead of a full MD5, ~4× faster at identical
-    statistical quality (uniform min-hash either way).
-
-    dedup_shingles=True hashes each DISTINCT shingle once (k hashes) and
-    joins back — identical results, big win when the shingle vocabulary is
-    much smaller than the exploded rows (template-heavy/boilerplate-heavy
-    corpora); skip it when shingles are mostly unique (the join shuffle
-    would outweigh the saved hashing)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    """→ (id, sig array<bigint>): shingle then sign (see
+    minhash_signature_from_shingles)."""
+    return minhash_signature_from_shingles(
+        shingled(df, id_col, text_col, shingle_k),
+        k=k,
+        hash_fn=hash_fn,
+        dedup_shingles=dedup_shingles,
     )
-    if hash_fn == "md5":
-        hcol = lambda i: F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))
-    else:
-        hcol = lambda i: F.lpad(
-            F.hex(F.xxhash64(F.lit(i), F.col("sh"))), 16, "0"
-        )
-    if dedup_shingles:
-        hashed = sh.select("sh").distinct().select(
-            "sh", *[hcol(i).alias(f"hh{i}") for i in range(k)]
-        )
-        joined = sh.join(hashed, "sh")
-        aggs = [F.min(F.col(f"hh{i}")).alias(f"h{i}") for i in range(k)]
-        sig = joined.groupBy("id").agg(*aggs)
-    else:
-        aggs = [F.min(hcol(i)).alias(f"h{i}") for i in range(k)]
-        sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -116,6 +203,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # both sides of the self-join read this frame — persist so the upstream
+    # signature computation runs once (rows are (id, band, md5), tiny)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -135,19 +225,43 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     dedup_shingles: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ t."""
-    sig = minhash_signature(
-        df, id_col, text_col, k=k, shingle_k=shingle_k,
-        dedup_shingles=dedup_shingles,
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ t.
+
+    Two-pass, scale-shaped: signatures stream over all docs once; the verify
+    stage SEMI-JOINS docs against the distinct candidate ids BEFORE attaching
+    shingle arrays, so full arrays are shuffled only for actual candidates —
+    at a 10^12-doc corpus the candidate set is orders of magnitude smaller
+    than the corpus and this is the difference between a bounded verify join
+    and re-shuffling every document body."""
+    docs = shingled(df, id_col, text_col, shingle_k)
+    sig = minhash_signature_from_shingles(
+        docs, k=k, hash_fn=hash_fn, dedup_shingles=dedup_shingles
     )
-    cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=k // bands)
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    # candidate pairs are re-read three times below (join left side + both
+    # id projections) — persist so LSH runs once, not per branch; the frame
+    # is (id, id) pairs, orders of magnitude smaller than the corpus
+    cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=k // bands).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    # semi-join the RAW input (not the shingled frame) so shingles are
+    # computed only for candidate docs; persist because the shingle sets
+    # feed both sides of the verify join. AQE broadcasts cand_ids when small.
+    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    needed = shingled(
+        raw.join(cand_ids, "id", "left_semi"), "id", "t", shingle_k
+    ).persist()
     return (
-        cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(
+            needed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            needed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
         .withColumn("jaccard", jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -199,7 +313,10 @@ def simhash_neardup_pairs(
     """Near-dup pairs: block on the top prefix bits, verify hamming ≤ t.
     (One-table LSH on the fingerprint prefix; multi-permutation blocking is
     the standard extension.)"""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    # persist: the self-join reads fp twice; 16 bytes/row, never recompute
+    # the 60-position bit aggregation per side
+    fp = slim.select("id", simhash64(F.col("t")).alias("fp")).persist()
     blocked = fp.withColumn("blk", F.shiftright(F.col("fp"), 60 - prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

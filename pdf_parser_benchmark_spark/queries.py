@@ -946,8 +946,13 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return DD.exact_dedup(docs, "doc_id", "text")
 
 
+# affine MinHash family: one md5-derived 60-bit base hash per shingle, k
+# Carter–Wegman variants — constants shared with operators/dedup.py so the
+# Spark and DuckDB sides are bit-identical
+_MH_X = "(('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)"
 _MINHASH_AGGS_SQL = ",\n       ".join(
-    f"min(md5('{i}|' || s)) AS h{i}" for i in range(16)
+    f"min(({a} * {_MH_X} + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(DD.minhash_affine_params(16))
 )
 
 
@@ -978,7 +983,7 @@ banded AS (
     band_union="\n  UNION ALL\n  ".join(
         "SELECT id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
             b=b,
-            cat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+            cat=" || '|' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)),
         )
         for b in range(4)
     ),
