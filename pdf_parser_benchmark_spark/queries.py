@@ -1027,18 +1027,49 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
-@query("simhash_fingerprint")  # bit-level conv() — no clean DuckDB twin; rows-only
+# 60-bit SimHash twin: per distinct word take 60 bits of md5 (hex-prefix →
+# BIGINT, same construction as Spark's conv(substr(md5,1,15),16,10)); per
+# bit position sum ±1; sign → fingerprint bit
+_SIMHASH_FP_TERMS = "\n       + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> {i}) & 1 = 1"
+    f" THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+    for i in range(60)
+)
+_SIMHASH_FP_CTE = rf"""
+w AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+      FROM documents),
+h AS (SELECT doc_id, list_transform(words, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM w),
+fps AS (SELECT doc_id, ({_SIMHASH_FP_TERMS}) AS fp FROM h)
+"""
+
+
+@query("simhash_fingerprint", f"WITH {_SIMHASH_FP_CTE} SELECT doc_id, fp FROM fps")
 def q_simhash_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """60-bit SimHash fingerprints (built-in expressions, no Python)."""
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", DD.simhash64(F.col("text")).alias("fp"))
 
 
-@query("simhash_neardup")  # rows-only (same conv() reason)
+@query(
+    "simhash_neardup",
+    f"""WITH {_SIMHASH_FP_CTE},
+rot AS (
+  SELECT doc_id AS id, fp, r,
+         (CASE WHEN r = 0 THEN fp
+               ELSE ((fp & ((1::BIGINT << (60 - r)) - 1)) << r) | (fp >> (60 - r))
+          END) >> 48 AS blk
+  FROM fps, unnest([0, 15, 30, 45]) AS t(r)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM rot a JOIN rot b ON a.r = b.r AND a.blk = b.blk
+WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 8""",
+)
 def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs: prefix-blocked, hamming ≤ 16."""
+    """SimHash near-dup pairs: multi-permutation prefix blocking (4
+    rotations × 12-bit prefix), hamming ≤ 8."""
     docs = _t(spark, sf, "documents")
-    return DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=16)
+    return DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
 @query(

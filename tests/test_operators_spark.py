@@ -137,6 +137,47 @@ def test_simhash_neardup(spark):
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_multiperm_recall_vs_bruteforce(spark):
+    """Multi-permutation blocking recall ≥ 0.9 of brute-force hamming ≤ 8
+    pairs on a deterministic corpus (single-prefix blocking misses pairs
+    whose differing bits land in the one prefix window — the rotations
+    close that hole; Manku et al. WWW'07)."""
+    import random
+
+    from pdf_parser_benchmark_spark.operators.dedup import hamming64, simhash64
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = []
+    for d in range(40):
+        base = rng.sample(vocab, 30)
+        docs.append((2 * d, " ".join(base)))
+        mutated = list(base)
+        for _ in range(rng.randint(1, 3)):  # small edits → near fingerprints
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        docs.append((2 * d + 1, " ".join(mutated)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fp = df.select("doc_id", simhash64(F.col("text")).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming64(F.col("a.fp"), F.col("b.fp")) <= 8)
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert brute, "fixture must produce true near-dup pairs"
+    assert got <= brute  # blocking never invents pairs
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(brute)} true pairs"
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from pdf_parser_benchmark_spark.queries import QUERIES
 
