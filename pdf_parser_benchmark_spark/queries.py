@@ -787,6 +787,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ivf_recall",
+    f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+{_CENTROID_SQL},
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5
+  ) WHERE rank <= 3
+),
+probe AS (
+  SELECT qid, qv, label FROM (
+    SELECT q.qid, q.qv, cent.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(qv, centroid) DESC, label) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT probe.qid, e.vec_id,
+           row_number() OVER (PARTITION BY probe.qid
+                              ORDER BY list_cosine_similarity(e.embedding, probe.qv) DESC, e.vec_id) AS rank
+    FROM embeddings e JOIN probe ON e.label = probe.label
+    WHERE e.vec_id >= 5
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT exact.qid, count(*) AS n_hits
+  FROM exact JOIN approx ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+  GROUP BY exact.qid
+),
+ks AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid)
+SELECT ks.qid, coalesce(hits.n_hits, 0) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / ks.k::DOUBLE, 6) AS recall
+FROM ks LEFT JOIN hits ON ks.qid = hits.qid""",
+)
+def q_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF probe path vs exact brute force on the SAME
+    queries/corpus — the measurable quality contract the reference pins for
+    its ANN index (/root/reference/docs/INFRASTRUCTURE.md:227-244 sets HNSW
+    params precisely to trade recall for speed; here the trade is explicit
+    and testable: nprobe lists searched out of all)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(queries, corpus, k=3).select("qid", "vec_id")
+    approx = ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"], "left_semi").groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    ks = exact.groupBy("qid").agg(F.count("*").alias("k"))
+    return ks.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.col("k"), 6).alias("recall"),
+    )
+
+
+@query(
     "rag_retrieval",
     """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 filtered AS (
@@ -1178,17 +1241,58 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("hash_embeddings")  # numpy feature hashing — rows-only
+@query(
+    "hash_embeddings",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS dim,
+         CASE WHEN ('0x' || substr(md5(w), 10, 1))::BIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM toks
+),
+sums AS (SELECT doc_id, dim, sum(sgn) AS v FROM feat GROUP BY 1, 2),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM sums GROUP BY 1),
+dims AS (
+  -- LEFT JOIN + guarded divide: a doc with no tokens (or all-cancelling
+  -- signs) has norm 0 and must emit 0s, exactly like the UDF
+  SELECT d.doc_id,
+         round(round(coalesce(s.v, 0)
+                     / (CASE WHEN coalesce(n.nrm, 0) > 0 THEN n.nrm ELSE 1 END),
+                     6) * 1e6)::BIGINT AS micro,
+         s2.dim AS dim
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN norms n USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dim) s2
+  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = s2.dim
+)
+SELECT doc_id,
+       max(CASE WHEN dim = 0 THEN micro END) AS d0_micro,
+       max(CASE WHEN dim = 1 THEN micro END) AS d1_micro,
+       max(CASE WHEN dim = 2 THEN micro END) AS d2_micro,
+       max(CASE WHEN dim = 3 THEN micro END) AS d3_micro
+FROM dims GROUP BY doc_id""",
+)
 def q_hash_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """F3 replacement: deterministic feature-hash embeddings (pandas UDF)."""
+    """F3 replacement: deterministic feature-hash embeddings (pandas UDF).
+    Output scaled to integer micro-units (×1e6 of the 6-digit-rounded,
+    L2-normalized components) so the float32 column compares exactly
+    against the DuckDB float64 twin: |f32 − f64| < 1e-7 never moves a
+    round-to-integer at 1e-6 granularity."""
     docs = _t(spark, sf, "documents")
     emb = docs.select("doc_id", hash_embedding(F.col("text")).alias("embedding"))
+    micro = lambda i: F.round(F.col("embedding")[i].cast("double") * 1e6).cast(
+        "bigint"
+    )
     return emb.select(
         "doc_id",
-        F.round(F.col("embedding")[0], 4).alias("d0"),
-        F.round(F.col("embedding")[1], 4).alias("d1"),
-        F.round(F.col("embedding")[2], 4).alias("d2"),
-        F.round(F.col("embedding")[3], 4).alias("d3"),
+        micro(0).alias("d0_micro"),
+        micro(1).alias("d1_micro"),
+        micro(2).alias("d2_micro"),
+        micro(3).alias("d3_micro"),
     )
 
 
@@ -1560,3 +1664,36 @@ def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     pages = docs.mapInPandas(gen, schema=PAGES_SCHEMA)
     out = extract_pages(pages, n_splits=16)
     return out.select("url", "parser", "chunk_count", "source", "text")
+
+
+@query("extract_digest")  # oracle pinned by tools/gen_pinned.py (see below)
+def q_extract_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Order/partitioning-invariant digest of the full extraction output:
+    per parser, doc count, total chunks, and a bit_xor of per-doc content
+    hashes — any byte change in any extracted text flips content_hash, so
+    the pinned oracle gives the extraction pipeline a real value-level
+    CORRECTNESS verdict (the full text rows stay in q_extract_pipeline)."""
+    out = q_extract_pipeline(spark, sf)
+    return (
+        out.groupBy("parser")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chunk_count").alias("total_chunks"),
+            F.bit_xor(F.xxhash64("url", "text")).alias("content_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pinned expected-output oracles (generated by tools/gen_pinned.py) for the
+# queries with no ANSI-SQL twin — registered last so a hand-written oracle
+# above always wins
+# ---------------------------------------------------------------------------
+try:
+    from .pinned_oracles import PINNED as _PINNED
+
+    for _name, _sql in _PINNED.items():
+        if _name in QUERIES and _name not in ORACLES:
+            ORACLES[_name] = _sql
+except ImportError:  # pragma: no cover — before first generation
+    pass

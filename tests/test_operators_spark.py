@@ -178,6 +178,36 @@ def test_simhash_multiperm_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall {recall:.2f} over {len(brute)} true pairs"
 
 
+def test_ivf_recall_tradeoff(spark, sf_dir):
+    """The IVF quality contract (reference pins its HNSW params for exactly
+    this trade, docs/INFRASTRUCTURE.md:227-244): recall@k is monotone in
+    nprobe and reaches 1.0 when every list is probed (= exact search).
+    The testdata embeddings are near-uniform (labels barely cosine-aligned),
+    so partial-nprobe recall is honestly low — the invariants still hold."""
+    from pdf_parser_benchmark_spark.operators.knn import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in brute_force_topk(queries, corpus, k=3).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        approx = {
+            (r["qid"], r["vec_id"])
+            for r in ivf_topk(queries, corpus, k=3, nprobe=nprobe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r2, r4, r10 = recall(2), recall(4), recall(10)
+    assert r10 == 1.0, f"nprobe=all-lists must equal exact search, got {r10}"
+    assert r2 <= r4 <= r10, (r2, r4, r10)
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from pdf_parser_benchmark_spark.queries import QUERIES
 
