@@ -339,6 +339,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self._occurrences: dict[int, list[tuple[int, object]]] = {}
+        self._root_ref: Ref | None = None  # newest trailer's /Root
         self._scan_objects()
         self._apply_xref_chain()
         self._expand_object_streams()
@@ -377,9 +378,11 @@ class PdfDocument:
 
     # -- xref chain (classic tables; decides liveness on duplicates) -------
 
-    def _parse_xref_table(self, pos: int) -> tuple[dict[int, int], int | None]:
+    def _parse_xref_table(
+        self, pos: int
+    ) -> tuple[dict[int, int], int | None, "Ref | None"]:
         """Parse one classic `xref` section at pos → (num→offset for in-use
-        entries, /Prev offset or None)."""
+        entries, /Prev offset or None, trailer /Root ref or None)."""
         live: dict[int, int] = {}
         lex = _Lexer(self.data, pos + 4)  # skip 'xref'
         while True:
@@ -402,18 +405,22 @@ class PdfDocument:
                 if kind == b"n":
                     live[start + i] = off
                 lex.pos += 20  # spec: every entry is exactly 20 bytes
-        # trailer dict may carry /Prev
+        # trailer dict may carry /Prev and /Root
         tpos = self.data.find(b"trailer", pos)
         prev = None
+        root_ref = None
         if tpos >= 0:
             try:
                 tlex = _Lexer(self.data, tpos + 7)
                 tdict = tlex.parse_object()
-                if isinstance(tdict, dict) and isinstance(tdict.get("/Prev"), int):
-                    prev = tdict["/Prev"]
+                if isinstance(tdict, dict):
+                    if isinstance(tdict.get("/Prev"), int):
+                        prev = tdict["/Prev"]
+                    if isinstance(tdict.get("/Root"), Ref):
+                        root_ref = tdict["/Root"]
             except Exception:
                 prev = None
-        return live, prev
+        return live, prev, root_ref
 
     def _parse_xref_stream(self, pos: int) -> tuple[dict[int, int], dict[int, tuple[int, int]], int | None]:
         """Parse a PDF 1.5 /Type /XRef stream at pos → (type-1 num→offset,
@@ -465,7 +472,8 @@ class PdfDocument:
                 elif t == 2:
                     in_stm[start + i] = (field(row, 1), field(row, 2))
         prev = d.get("/Prev") if isinstance(d.get("/Prev"), int) else None
-        return offsets, in_stm, prev
+        root_ref = d.get("/Root") if isinstance(d.get("/Root"), Ref) else None
+        return offsets, in_stm, prev, root_ref
 
     def _apply_xref_chain(self) -> None:
         """Walk startxref → xref table or /Type /XRef stream (→ /Prev …);
@@ -484,13 +492,18 @@ class PdfDocument:
             if not (0 <= pos < len(self.data)):
                 return
             if self.data[pos : pos + 4] == b"xref":
-                section, prev = self._parse_xref_table(pos)
+                section, prev, root_ref = self._parse_xref_table(pos)
                 stm_section: dict[int, tuple[int, int]] = {}
             else:
                 try:
-                    section, stm_section, prev = self._parse_xref_stream(pos)
+                    section, stm_section, prev, root_ref = self._parse_xref_stream(pos)
                 except Exception:
                     return  # corrupt → keep tolerant scan semantics
+            # the NEWEST trailer's /Root names the live catalog — an
+            # incremental update may install a replacement catalog under a
+            # NEW object number (scan order would keep serving the old one)
+            if root_ref is not None and self._root_ref is None:
+                self._root_ref = root_ref
             for num, off in section.items():
                 if num not in live and num not in self._live_in_objstm:
                     live[num] = off
@@ -576,12 +589,19 @@ class PdfDocument:
     # -- page tree ---------------------------------------------------------
 
     def pages(self) -> list[dict]:
+        # prefer the newest trailer's /Root: an incremental update can
+        # install a replacement catalog under a NEW object number, leaving
+        # the old catalog object intact for the scan heuristic to find
         root = None
-        for obj in self.objects.values():
-            o = obj.dict if isinstance(obj, _Stream) else obj
-            if isinstance(o, dict) and o.get("/Type") == "/Catalog":
-                root = o
-                break
+        rooted = self.resolve(self._root_ref) if self._root_ref else None
+        if isinstance(rooted, dict) and "/Pages" in rooted:
+            root = rooted
+        if root is None:  # fallback: first /Catalog in scan order
+            for obj in self.objects.values():
+                o = obj.dict if isinstance(obj, _Stream) else obj
+                if isinstance(o, dict) and o.get("/Type") == "/Catalog":
+                    root = o
+                    break
         if root is None:
             raise ValueError("no /Catalog")
         out: list[dict] = []

@@ -34,12 +34,23 @@ def explode_lines(
     )
 
 
+# full-whitespace-class strip matching Python str.strip() (the in-UDF twin
+# in extract/assemble.py and the reference both strip tabs etc., while
+# Spark's F.trim strips spaces only); (?U) makes Java \s unicode-aware like
+# Python's
+_STRIP_RE = r"(?U)^\s+|\s+$"
+
+
+def stripped(col) -> F.Column:
+    return F.regexp_replace(col, _STRIP_RE, "")
+
+
 def boilerplate_lines(
     pages: DataFrame, doc_col: str, page_col: str, text_col: str
 ) -> DataFrame:
     """→ (doc, line, cnt): the boilerplate set per document."""
     lines = explode_lines(pages, doc_col, page_col, text_col).withColumn(
-        "sline", F.trim(F.col("line"))
+        "sline", stripped(F.col("line"))
     )
     page_counts = pages.groupBy(F.col(doc_col).alias("doc")).agg(
         F.count("*").alias("n_pages")
@@ -66,7 +77,7 @@ def strip_boilerplate(
     boiler = boilerplate_lines(pages, doc_col, page_col, text_col).select(
         "doc", F.col("line").alias("sline")
     )
-    kept = lines.withColumn("sline", F.trim("line")).join(
+    kept = lines.withColumn("sline", stripped(F.col("line"))).join(
         boiler, ["doc", "sline"], "left_anti"
     )
     agg = kept.groupBy("doc", "page").agg(

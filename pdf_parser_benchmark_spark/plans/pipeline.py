@@ -33,7 +33,7 @@ from ..extract.assemble import extract_document
 from ..canonical import encode_doc
 from ..sources import checkpoint as ckpt
 from ..sources.lineage import lineage_counters
-from ..sources.sink import write_extracted
+from ..sources.sink import read_extracted, write_extracted
 
 EXTRACTED_SCHEMA = (
     "url string, warc_ts timestamp, lang string, text string, "
@@ -242,7 +242,7 @@ def run_pipeline(
     run_id = uuid.uuid4().hex[:12]
     df = ckpt.with_split_id(pages, n_splits)
     if resume:
-        df = ckpt.filter_resumable(df, spark, manifest_dir)
+        df = ckpt.filter_resumable(df, spark, manifest_dir, n_splits)
 
     remaining = sorted(
         r["split_id"] for r in df.select("split_id").distinct().collect()
@@ -264,13 +264,13 @@ def run_pipeline(
             part = part.repartition(n_tasks, F.xxhash64("url"))
         extracted = part.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
         write_extracted(extracted, output_dir)  # dynamic overwrite by split
-        batch_written = spark.read.parquet(output_dir).filter(
+        batch_written = read_extracted(spark, output_dir).filter(
             F.col("split_id").isin(split_batch)
         )
-        ckpt.mark_splits_complete(batch_written, manifest_dir, run_id)
+        ckpt.mark_splits_complete(batch_written, manifest_dir, run_id, n_splits)
         done_splits.extend(split_batch)
 
-    written = spark.read.parquet(output_dir).filter(
+    written = read_extracted(spark, output_dir).filter(
         F.col("split_id").isin(done_splits)
     )
     lineage = lineage_counters(written)

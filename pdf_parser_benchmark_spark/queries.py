@@ -70,8 +70,8 @@ lines AS (
 ),
 np AS (SELECT doc, count(*) AS n_pages FROM pages GROUP BY doc),
 lcounts AS (
-  SELECT doc, trim(line) AS sline, count(*) AS cnt
-  FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+  SELECT doc, regexp_replace(line, '^\s+|\s+$', '', 'g') AS sline, count(*) AS cnt
+  FROM lines WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> '' GROUP BY 1, 2
 ),
 boiler AS (
   SELECT lcounts.doc, sline, cnt FROM lcounts JOIN np USING (doc)
@@ -118,7 +118,7 @@ sh AS (
     f"""WITH {_PAGES_SQL},
 kept AS (
   SELECT l.doc, l.page, l.pos, l.line FROM lines l
-  LEFT JOIN boiler b ON l.doc = b.doc AND trim(l.line) = b.sline
+  LEFT JOIN boiler b ON l.doc = b.doc AND regexp_replace(l.line, '^\s+|\s+$', '', 'g') = b.sline
   WHERE b.sline IS NULL
 ),
 agg AS (

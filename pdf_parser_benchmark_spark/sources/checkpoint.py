@@ -9,19 +9,29 @@ and incremental SKU skip (anti-filter against already-indexed SKUs,
 A *split* is a deterministic bucket of urls: ``pmod(xxhash64(url), n_splits)``
 — stable across runs, partition counts, and cluster sizes, so a resumed run
 at different parallelism skips exactly the work a previous run committed.
+Each manifest row records the ``n_splits`` it was computed under: split 3
+of 64 is NOT split 3 of 128, so resume ignores rows from a different
+bucketing rather than silently skipping the wrong url set.
+
 Write protocol (idempotence, SURVEY.md §7 hard-part 4): output is written
 partitioned-by-split with dynamic partition overwrite FIRST, the manifest
 row is appended AFTER — a crash between the two re-does a split (overwrite,
-harmless) but never skips an unwritten one.
+harmless) but never skips an unwritten one. Rows carry a monotonic
+``commit_seq`` (driver wall-clock ns at mark time) so "latest wins" is
+well-defined across resumed runs.
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-MANIFEST_SCHEMA = "split_id INT, status STRING, rows_out BIGINT, run_id STRING"
+MANIFEST_SCHEMA = (
+    "split_id INT, status STRING, rows_out BIGINT, run_id STRING, "
+    "n_splits INT, commit_seq BIGINT"
+)
 
 
 def with_split_id(df: DataFrame, n_splits: int, url_col: str = "url") -> DataFrame:
@@ -30,18 +40,32 @@ def with_split_id(df: DataFrame, n_splits: int, url_col: str = "url") -> DataFra
     )
 
 
-def read_completed_splits(spark: SparkSession, manifest_dir: str) -> DataFrame:
-    """Distinct completed split ids (empty DF if no manifest yet)."""
+def _recover_manifest(manifest_dir: str) -> None:
+    """Heal a crash mid-compaction-swap: if the live dir is gone but the
+    renamed-aside copy survives, put it back. Never leaves zero manifest."""
+    old = manifest_dir.rstrip("/") + ".old"
+    if not os.path.isdir(manifest_dir) and os.path.isdir(old):
+        os.rename(old, manifest_dir)
+
+
+def read_completed_splits(
+    spark: SparkSession, manifest_dir: str, n_splits: int | None = None
+) -> DataFrame:
+    """Distinct completed split ids (empty DF if no manifest yet).
+
+    With ``n_splits`` given, rows recorded under a DIFFERENT bucketing are
+    ignored — resuming 64-split work with n_splits=128 redoes everything
+    instead of skipping wrong splits. Legacy manifests without the column
+    are trusted as-is."""
+    _recover_manifest(manifest_dir)
     if not os.path.isdir(manifest_dir) or not any(
         f.endswith(".parquet") for f in _walk_files(manifest_dir)
     ):
         return spark.createDataFrame([], "split_id INT")
-    return (
-        spark.read.parquet(manifest_dir)
-        .filter(F.col("status") == "complete")
-        .select("split_id")
-        .distinct()
-    )
+    df = spark.read.parquet(manifest_dir).filter(F.col("status") == "complete")
+    if n_splits is not None and "n_splits" in df.columns:
+        df = df.filter(F.col("n_splits") == n_splits)
+    return df.select("split_id").distinct()
 
 
 def _walk_files(root: str):
@@ -51,42 +75,62 @@ def _walk_files(root: str):
 
 
 def filter_resumable(
-    df_with_split: DataFrame, spark: SparkSession, manifest_dir: str
+    df_with_split: DataFrame,
+    spark: SparkSession,
+    manifest_dir: str,
+    n_splits: int | None = None,
 ) -> DataFrame:
     """Drop rows of already-completed splits (left-anti, broadcast: the
     manifest is tiny relative to input)."""
-    done = read_completed_splits(spark, manifest_dir)
+    done = read_completed_splits(spark, manifest_dir, n_splits)
     return df_with_split.join(F.broadcast(done), "split_id", "left_anti")
 
 
 def compact_manifest(spark: SparkSession, manifest_dir: str) -> int:
-    """Squash the append-only manifest to one row per split (latest wins).
+    """Squash the append-only manifest to one row per (n_splits, split_id),
+    latest commit_seq wins.
 
     The manifest grows one row per split per run; at 10^12 scale with many
     resumed runs this is the small-files problem in miniature. Compaction
-    rewrites it as a single snapshot (write-new-then-swap for atomicity).
-    Returns the surviving row count."""
+    rewrites it as a single snapshot. The swap renames the old dir aside
+    BEFORE moving the new one in, and the read path heals a half-finished
+    swap (_recover_manifest) — a crash at any point leaves a readable
+    manifest, worst case the uncompacted one."""
     import shutil
 
-    from pyspark.sql import Window, functions as F2
+    from pyspark.sql import Window
 
+    _recover_manifest(manifest_dir)
     df = spark.read.parquet(manifest_dir)
-    w = Window.partitionBy("split_id").orderBy(F.desc("run_id"))
+    order = (
+        [F.desc("commit_seq"), F.desc("run_id")]
+        if "commit_seq" in df.columns
+        else [F.desc("run_id")]  # legacy manifest: arbitrary-but-stable
+    )
+    keys = ["split_id"] + (["n_splits"] if "n_splits" in df.columns else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
     latest = (
-        df.withColumn("rn", F2.row_number().over(w))
-        .filter(F2.col("rn") == 1)
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .drop("rn")
     )
     tmp = manifest_dir.rstrip("/") + ".compacting"
+    old = manifest_dir.rstrip("/") + ".old"
     latest.coalesce(1).write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(manifest_dir)
-    shutil.move(tmp, manifest_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(manifest_dir, old)  # old snapshot survives until the new is live
+    os.rename(tmp, manifest_dir)
+    shutil.rmtree(old)
     return n
 
 
 def mark_splits_complete(
-    extracted: DataFrame, manifest_dir: str, run_id: str
+    extracted: DataFrame,
+    manifest_dir: str,
+    run_id: str,
+    n_splits: int | None = None,
 ) -> None:
     """Append one `complete` row per split actually written this run."""
     (
@@ -97,6 +141,8 @@ def mark_splits_complete(
             F.lit("complete").alias("status"),
             "rows_out",
             F.lit(run_id).alias("run_id"),
+            F.lit(n_splits).cast("int").alias("n_splits"),
+            F.lit(time.time_ns()).alias("commit_seq"),
         )
         .write.mode("append")
         .parquet(manifest_dir)

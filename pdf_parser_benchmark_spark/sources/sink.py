@@ -10,7 +10,7 @@ needs: re-writing a split replaces exactly that split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -21,19 +21,46 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def is_table_identifier(path_or_table: str) -> bool:
+    """catalog.db.table → Iceberg table; anything path-like → parquet."""
+    return path_or_table.count(".") >= 2 and not path_or_table.startswith("/")
+
+
+def _table_exists(spark: SparkSession, table: str) -> bool:
+    try:
+        return spark.catalog.tableExists(table)
+    except Exception:
+        return False
+
+
+def read_extracted(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Sink-aware read-back: Iceberg table identifier or parquet path."""
+    if is_table_identifier(path_or_table):
+        return spark.read.table(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
 def write_extracted(
     df: DataFrame,
     path_or_table: str,
     partition_col: str = "split_id",
 ) -> None:
+    """Commit one batch of extracted splits.
+
+    Invariant the checkpoint protocol depends on (module docstring):
+    re-writing a split replaces EXACTLY that split — never the table.
+    Iceberg: create once if absent, then overwritePartitions() (dynamic
+    per-partition replacement, snapshot-isolated). createOrReplace() here
+    would wipe previously committed batches while the manifest still marks
+    them complete — silent data loss on resume.
+    """
     spark = df.sparkSession
-    if path_or_table.count(".") >= 2 and not path_or_table.startswith("/"):
-        # catalog.db.table → Iceberg path
-        (
-            df.writeTo(path_or_table)
-            .partitionedBy(partition_col)
-            .createOrReplace()
-        )
+    if is_table_identifier(path_or_table):
+        writer = df.writeTo(path_or_table).partitionedBy(F.col(partition_col))
+        if _table_exists(spark, path_or_table):
+            writer.overwritePartitions()
+        else:
+            writer.create()
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (

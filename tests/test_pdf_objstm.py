@@ -190,3 +190,56 @@ def test_xref_stream_governs_liveness():
         + new_stream + b"\nendstream\nendobj\n"
     )
     assert [b.text() for b in parse_pdf(patched)[0].blocks] == ["original text"]
+
+
+def test_trailer_root_overrides_scan_order_catalog():
+    """An incremental update can install a REPLACEMENT catalog under a NEW
+    object number, leaving the old catalog object byte-intact — scan order
+    would keep serving the old page tree; the newest trailer's /Root names
+    the live one."""
+    import re
+
+    base = build_pdf([lines_page(["old catalog text"], compress=False)])
+    old_startxref = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    font_m = re.search(rb"(\d+) 0 obj\n<< /Type /Font [^>]*?/BaseFont /Helvetica", base)
+    assert font_m, "fixture font object not found"
+    font_num = int(font_m.group(1))
+    maxobj = max(int(m.group(1)) for m in re.finditer(rb"(\d+) 0 obj", base))
+    cat, pgs, pg, cont = maxobj + 1, maxobj + 2, maxobj + 3, maxobj + 4
+    stream = b"BT /F1 11 Tf 72 700 Td (new catalog text) Tj ET"
+
+    upd = bytearray(base)
+    upd += b"\n"
+    offs = {}
+
+    def add(num, body):
+        offs[num] = len(upd)
+        upd.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    add(cat, b"<< /Type /Catalog /Pages %d 0 R >>" % pgs)
+    add(pgs, b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % pg)
+    add(
+        pg,
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+        b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+        % (pgs, cont, font_num),
+    )
+    add(
+        cont,
+        b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream",
+    )
+    xref_off = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n"
+    upd += b"%d 4\n" % cat
+    for n in (cat, pgs, pg, cont):
+        upd += b"%010d 00000 n \n" % offs[n]
+    upd += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (cat + 5, cat, old_startxref, xref_off)
+    )
+
+    pages = parse_pdf(bytes(upd))
+    assert len(pages) == 1
+    assert [b.text() for b in pages[0].blocks] == ["new catalog text"]
+    # the base document alone still serves the old tree
+    assert [b.text() for b in parse_pdf(base)[0].blocks] == ["old catalog text"]

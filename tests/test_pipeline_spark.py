@@ -161,3 +161,87 @@ def test_map_in_arrow_matches_pandas_path(spark, pages):
     b = {r["url"]: r["fp"]
          for r in extract_pages_arrow(pages, n_splits=8).collect()}
     assert a == b and len(a) == N_ROWS
+
+
+def test_iceberg_sink_per_partition_replace_contract(spark, monkeypatch):
+    """Pin the Iceberg write mode without the runtime jar: an existing table
+    must get overwritePartitions() (replace exactly the written splits),
+    NEVER createOrReplace() (which would wipe previously committed batches
+    while the manifest still marks them complete)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.sources import sink
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, table):
+            self.table = table
+
+        def partitionedBy(self, *cols):
+            return self
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.table))
+
+        def create(self):
+            calls.append(("create", self.table))
+
+        def createOrReplace(self):  # the bug this test forbids
+            calls.append(("createOrReplace", self.table))
+
+    df = spark.range(3).withColumn("split_id", F.lit(0))
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, t: FakeWriter(t), raising=True
+    )
+
+    monkeypatch.setattr(sink, "_table_exists", lambda s, t: True)
+    sink.write_extracted(df, "cat.db.extracted")
+    assert calls == [("overwritePartitions", "cat.db.extracted")]
+
+    calls.clear()
+    monkeypatch.setattr(sink, "_table_exists", lambda s, t: False)
+    sink.write_extracted(df, "cat.db.extracted")
+    assert calls == [("create", "cat.db.extracted")]
+
+
+def test_resume_ignores_manifest_from_different_bucketing(spark, tmp_path):
+    """Split 3 of 64 is not split 3 of 128: completed-split rows recorded
+    under another n_splits must not suppress work in this run."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.sources import checkpoint as ckpt
+
+    mdir = str(tmp_path / "manifest")
+    fake = spark.createDataFrame([(3, 100)], "split_id int, rows_out long").select(
+        "split_id", F.lit("complete").alias("status"), "rows_out"
+    )
+    ckpt.mark_splits_complete(
+        fake.select("split_id", F.col("rows_out")), mdir, "runA", n_splits=64
+    )
+    assert ckpt.read_completed_splits(spark, mdir, n_splits=64).count() == 1
+    assert ckpt.read_completed_splits(spark, mdir, n_splits=128).count() == 0
+    assert ckpt.read_completed_splits(spark, mdir, n_splits=None).count() == 1
+
+
+def test_compaction_latest_wins_and_crash_recovery(spark, tmp_path):
+    """compact_manifest keeps the row with the highest commit_seq per split,
+    and a crash that left the manifest renamed aside heals on next read."""
+    import os
+
+    from pdf_parser_benchmark_spark.sources import checkpoint as ckpt
+
+    mdir = str(tmp_path / "manifest")
+    one = spark.createDataFrame([(7,)], "split_id int")          # 1 row out
+    two = spark.createDataFrame([(7,), (7,), (7,)], "split_id int")  # 3 rows out
+    ckpt.mark_splits_complete(one, mdir, "older", n_splits=8)
+    ckpt.mark_splits_complete(two, mdir, "newer", n_splits=8)
+    n = ckpt.compact_manifest(spark, mdir)
+    assert n == 1
+    row = spark.read.parquet(mdir).collect()[0]
+    assert row["run_id"] == "newer" and row["rows_out"] == 3
+
+    # simulate a crash between the two swap renames: live dir gone, .old left
+    os.rename(mdir, mdir + ".old")
+    assert ckpt.read_completed_splits(spark, mdir, n_splits=8).count() == 1
+    assert os.path.isdir(mdir) and not os.path.isdir(mdir + ".old")
