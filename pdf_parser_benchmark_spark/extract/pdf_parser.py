@@ -27,6 +27,8 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
+from . import pdf_crypt
+
 
 # ---------------------------------------------------------------------------
 # Object-level lexer/parser
@@ -209,6 +211,7 @@ class _Lexer:
 class _Stream:
     dict: dict
     raw: bytes
+    num: int | None = None  # owning object number (per-object decryption key)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -340,8 +343,12 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self._occurrences: dict[int, list[tuple[int, object]]] = {}
         self._root_ref: Ref | None = None  # newest trailer's /Root
+        self._trailer: dict = {}  # newest-wins merge of the trailer chain
+        self._file_key: bytes | None = None
+        self._aes = False
         self._scan_objects()
         self._apply_xref_chain()
+        self._setup_encryption()  # BEFORE ObjStm expansion: containers may be encrypted
         self._expand_object_streams()
 
     def _scan_objects(self) -> None:
@@ -372,7 +379,7 @@ class PdfDocument:
                 else:
                     end = self.data.find(b"endstream", p)
                     raw = self.data[p:end].rstrip(b"\r\n")
-                obj = _Stream(obj, raw)
+                obj = _Stream(obj, raw, num)
             self.objects[num] = obj
             self._occurrences.setdefault(num, []).append((start_off, obj))
 
@@ -405,22 +412,21 @@ class PdfDocument:
                 if kind == b"n":
                     live[start + i] = off
                 lex.pos += 20  # spec: every entry is exactly 20 bytes
-        # trailer dict may carry /Prev and /Root
+        # trailer dict may carry /Prev, /Root, /Encrypt, /ID
         tpos = self.data.find(b"trailer", pos)
         prev = None
-        root_ref = None
+        tdict: dict = {}
         if tpos >= 0:
             try:
                 tlex = _Lexer(self.data, tpos + 7)
-                tdict = tlex.parse_object()
-                if isinstance(tdict, dict):
+                parsed = tlex.parse_object()
+                if isinstance(parsed, dict):
+                    tdict = parsed
                     if isinstance(tdict.get("/Prev"), int):
                         prev = tdict["/Prev"]
-                    if isinstance(tdict.get("/Root"), Ref):
-                        root_ref = tdict["/Root"]
             except Exception:
                 prev = None
-        return live, prev, root_ref
+        return live, prev, tdict
 
     def _parse_xref_stream(self, pos: int) -> tuple[dict[int, int], dict[int, tuple[int, int]], int | None]:
         """Parse a PDF 1.5 /Type /XRef stream at pos → (type-1 num→offset,
@@ -472,8 +478,7 @@ class PdfDocument:
                 elif t == 2:
                     in_stm[start + i] = (field(row, 1), field(row, 2))
         prev = d.get("/Prev") if isinstance(d.get("/Prev"), int) else None
-        root_ref = d.get("/Root") if isinstance(d.get("/Root"), Ref) else None
-        return offsets, in_stm, prev, root_ref
+        return offsets, in_stm, prev, d
 
     def _apply_xref_chain(self) -> None:
         """Walk startxref → xref table or /Type /XRef stream (→ /Prev …);
@@ -492,18 +497,21 @@ class PdfDocument:
             if not (0 <= pos < len(self.data)):
                 return
             if self.data[pos : pos + 4] == b"xref":
-                section, prev, root_ref = self._parse_xref_table(pos)
+                section, prev, tdict = self._parse_xref_table(pos)
                 stm_section: dict[int, tuple[int, int]] = {}
             else:
                 try:
-                    section, stm_section, prev, root_ref = self._parse_xref_stream(pos)
+                    section, stm_section, prev, tdict = self._parse_xref_stream(pos)
                 except Exception:
                     return  # corrupt → keep tolerant scan semantics
-            # the NEWEST trailer's /Root names the live catalog — an
-            # incremental update may install a replacement catalog under a
-            # NEW object number (scan order would keep serving the old one)
-            if root_ref is not None and self._root_ref is None:
-                self._root_ref = root_ref
+            # newest-wins merge of the trailer chain; the NEWEST /Root names
+            # the live catalog — an incremental update may install a
+            # replacement catalog under a NEW object number (scan order
+            # would keep serving the old one)
+            for k, v in tdict.items():
+                self._trailer.setdefault(k, v)
+            if self._root_ref is None and isinstance(tdict.get("/Root"), Ref):
+                self._root_ref = tdict["/Root"]
             for num, off in section.items():
                 if num not in live and num not in self._live_in_objstm:
                     live[num] = off
@@ -521,6 +529,67 @@ class PdfDocument:
                 if ooff == off:
                     self.objects[num] = obj
                     break
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler, empty user password (§7.6; the
+        reference handles these via fitz.open, src/ingest.py:50). Sets
+        self._file_key/_aes; raises on password-protected or unsupported
+        schemes so the pipeline's per-doc guard records them as errors."""
+        trailer = self._trailer
+        if "/Encrypt" not in trailer:
+            # tolerant path: xref chain unusable but the file may still be
+            # encrypted — parse the LAST trailer dict by scan
+            tpos = self.data.rfind(b"trailer")
+            if tpos < 0:
+                return
+            try:
+                t = _Lexer(self.data, tpos + 7).parse_object()
+            except Exception:
+                return
+            if not isinstance(t, dict) or "/Encrypt" not in t:
+                return
+            for k, v in t.items():
+                trailer.setdefault(k, v)
+        enc = self.resolve(trailer.get("/Encrypt"))
+        if not isinstance(enc, dict):
+            return
+        if enc.get("/Filter") != "/Standard":
+            raise ValueError(f"unsupported security handler {enc.get('/Filter')}")
+        v = int(self.resolve(enc.get("/V")) or 0)
+        r = int(self.resolve(enc.get("/R")) or 2)
+        key_len = int(self.resolve(enc.get("/Length")) or 40) // 8
+        aes = False
+        if v == 4:
+            cf = self.resolve(enc.get("/CF")) or {}
+            stdcf = self.resolve(cf.get("/StdCF")) if isinstance(cf, dict) else None
+            cfm = (stdcf or {}).get("/CFM")
+            if cfm == "/AESV2":
+                aes = True
+                key_len = 16
+            elif cfm in ("/V2", None):
+                aes = False
+            elif cfm == "/Identity":
+                return  # identity crypt filter: nothing to decrypt
+            else:
+                raise ValueError(f"unsupported crypt filter {cfm}")
+        elif v not in (1, 2):
+            raise ValueError(f"unsupported encryption /V {v}")
+        o = enc.get("/O")
+        u = enc.get("/U")
+        p = int(self.resolve(enc.get("/P")) or -1)
+        ids = trailer.get("/ID")
+        id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise ValueError("malformed /Encrypt dict")
+        meta = self.resolve(enc.get("/EncryptMetadata"))
+        key = pdf_crypt.compute_file_key(
+            b"", o, p, id0, r, key_len,
+            encrypt_metadata=(True if meta is None else bool(meta)),
+        )
+        if not pdf_crypt.user_password_matches(u, key, id0, r):
+            raise ValueError("encrypted document: user password required")
+        self._file_key = key
+        self._aes = aes
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5 /ObjStm: decompress and register the packed objects
@@ -557,6 +626,14 @@ class PdfDocument:
     def stream_data(self, s: _Stream) -> bytes:
         filt = self.resolve(s.dict.get("/Filter"))
         data = s.raw
+        # decryption precedes filters (§7.6.2); XRef streams are never
+        # encrypted, and num=None streams are parser-internal constructions
+        if (
+            self._file_key is not None
+            and s.num is not None
+            and s.dict.get("/Type") != "/XRef"
+        ):
+            data = pdf_crypt.decrypt_bytes(data, self._file_key, s.num, 0, self._aes)
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(s.dict.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)

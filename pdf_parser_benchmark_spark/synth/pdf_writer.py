@@ -15,8 +15,10 @@ XY-cut reading order.
 
 from __future__ import annotations
 
+import re
 import zlib
 from dataclasses import dataclass, field
+from hashlib import md5 as _md5
 
 PAGE_W, PAGE_H = 612, 792  # US Letter, points
 
@@ -151,6 +153,7 @@ def build_pdf(
     pages: list[PageSpec],
     use_object_streams: bool = False,
     use_xref_stream: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Assemble a complete PDF file with a correct xref table.
 
@@ -158,7 +161,16 @@ def build_pdf(
     /ObjStm (exercises the parser's compressed-object path).
     use_xref_stream=True (implies object streams) emits a pure PDF 1.5
     file: a /Type /XRef stream trailer with type-1/type-2 entries and NO
-    classic xref/trailer."""
+    classic xref/trailer.
+    encrypt='rc4' (V2/R3/128-bit) or 'aes' (V4/R4 /AESV2) emits a Standard-
+    security-handler file with an EMPTY user password (owner pwd 'owner') —
+    the common in-the-wild case the parser must open transparently. The AES
+    IV is derived deterministically from the object number so fixtures stay
+    byte-stable. Classic-xref files only."""
+    if encrypt:
+        assert not use_object_streams and not use_xref_stream, (
+            "encrypted fixtures use the classic-xref layout"
+        )
     if use_xref_stream:
         use_object_streams = True
     objects: list[bytes] = []  # 1-indexed bodies, object n = objects[n-1]
@@ -308,6 +320,39 @@ def build_pdf(
         )
         return bytes(buf)
 
+    # optional Standard-security-handler encryption (empty user password)
+    trailer_extra = b""
+    if encrypt:
+        from ..extract import pdf_crypt
+
+        aes = encrypt == "aes"
+        r, v, key_len, p = (4, 4, 16, -3904) if aes else (3, 2, 16, -3904)
+        id0 = _md5(b"".join(objects)).digest()
+        o_entry = pdf_crypt.compute_owner_hash(b"owner", b"", r, key_len)
+        file_key = pdf_crypt.compute_file_key(b"", o_entry, p, id0, r, key_len)
+        u_entry = pdf_crypt.compute_user_hash(file_key, id0, r)
+        for n, body in enumerate(list(objects), start=1):
+            i = body.find(b"\nstream\n")
+            if i < 0:
+                continue
+            head, payload = body[:i], body[i + 8 :]
+            if payload.endswith(b"\nendstream"):
+                payload = payload[: -len(b"\nendstream")]
+            sealed = pdf_crypt.encrypt_bytes(payload, file_key, n, 0, aes)
+            head = re.sub(rb"/Length \d+", b"/Length %d" % len(sealed), head, count=1)
+            objects[n - 1] = head + b"\nstream\n" + sealed + b"\nendstream"
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            if aes
+            else b""
+        )
+        enc_num = add(
+            b"<< /Filter /Standard /V %d /R %d /Length 128 %s/P %d /O <%s> /U <%s> >>"
+            % (v, r, cf, p, o_entry.hex().encode(), u_entry.hex().encode())
+        )
+        id_hex = id0.hex().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, id_hex, id_hex)
+
     # serialize with xref
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -320,8 +365,8 @@ def build_pdf(
     for off in offsets[1:]:
         buf += b"%010d 00000 n \n" % off
     buf += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, catalog_num, xref_off)
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, catalog_num, trailer_extra, xref_off)
     )
     return bytes(buf)
 

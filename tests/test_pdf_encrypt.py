@@ -1,0 +1,97 @@
+"""PDF Standard security handler: RC4 + AES-128, empty user password
+(PDF 1.7 §7.6; AES from FIPS-197 with its Appendix C.1 vector pinned)."""
+
+import re
+
+import pytest
+
+from pdf_parser_benchmark_spark.extract import pdf_crypt as pc
+from pdf_parser_benchmark_spark.extract.pdf_parser import parse_pdf
+from pdf_parser_benchmark_spark.synth.pdf_writer import (
+    build_pdf,
+    lines_page,
+    two_column_page,
+)
+
+SPECS = [
+    lines_page(["Body one.", "Body two."], header="HDR", footer="FTR",
+               heading="Chapter 1"),
+    lines_page(["é Ω CMap body"], font="F2"),
+    two_column_page(["L1", "L2"], ["R1", "R2"]),
+    lines_page(["rotated Reproducible 4.3"], rotate=270),
+    lines_page(["tj split page"], use_tj_array=True),
+]
+
+
+def _sig(pages):
+    return [(p.rotation, [b.lines for b in p.blocks]) for p in pages]
+
+
+def test_aes_block_fips197_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = pc._key_expansion(key)
+    ct = pc._aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert pc._aes_decrypt_block(rk, ct) == pt
+
+
+def test_rc4_public_vector():
+    assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+
+
+def test_aes_cbc_roundtrip_all_lengths():
+    key = b"0123456789abcdef"
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        assert pc.aes_cbc_decrypt(key, pc.aes_cbc_encrypt(key, data, b"\x07" * 16)) == data
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes"])
+def test_encrypted_pdf_parses_identically(mode):
+    plain = _sig(parse_pdf(build_pdf(SPECS)))
+    data = build_pdf(SPECS, encrypt=mode)
+    assert b"/Encrypt" in data and b"/Filter /Standard" in data
+    assert _sig(parse_pdf(data)) == plain
+    # deterministic bytes (golden-fixture requirement)
+    assert data == build_pdf(SPECS, encrypt=mode)
+
+
+def test_password_protected_raises():
+    data = build_pdf(SPECS, encrypt="rc4")
+    m = re.search(rb"/U <([0-9a-f]+)>", data)
+    bad = data.replace(m.group(1), m.group(1)[::-1])
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf(bad)
+
+
+def test_password_protected_lands_in_error_column(spark):
+    """The pipeline's per-doc guard turns a password-protected PDF into an
+    error row, never a task failure."""
+    import pandas as pd
+
+    from pdf_parser_benchmark_spark.plans.pipeline import (
+        EXTRACTED_SCHEMA,
+        extract_pages,
+    )
+
+    data = build_pdf(SPECS, encrypt="aes")
+    m = re.search(rb"/U <([0-9a-f]+)>", data)
+    bad = data.replace(m.group(1), m.group(1)[::-1])
+    pdf_rows = pd.DataFrame(
+        [
+            {"url": "https://x.example/locked.pdf", "warc_ts": None,
+             "html": bad, "text": None, "lang": "en"},
+            {"url": "https://x.example/open.pdf", "warc_ts": None,
+             "html": data, "text": None, "lang": "en"},
+        ]
+    )
+    pages = spark.createDataFrame(
+        pdf_rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r["url"]: r for r in extract_pages(pages, n_splits=4).collect()}
+    locked = out["https://x.example/locked.pdf"]
+    assert locked["error"] and "password" in locked["error"]
+    opened = out["https://x.example/open.pdf"]
+    assert not opened["error"] and opened["chunk_count"] > 0
+    assert "Body one." in opened["text"]
