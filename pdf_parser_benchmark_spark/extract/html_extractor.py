@@ -36,8 +36,17 @@ _BLOCK_TAGS: dict[str, str] = {
 # containers whose whole subtree is page chrome
 _CHROME = {"nav", "header", "footer", "aside", "script", "style", "head"}
 
+# structural containers tracked for DOM-subtree density scoring
+# (readability/Boilerpipe family: a subtree dominated by link text is
+# boilerplate even when its individual blocks — e.g. the "Related posts"
+# header above a link list — would pass the per-block rule)
+_CONTAINERS = {"div", "section", "article", "main", "ul", "ol", "table"}
+
 LINK_DENSITY_MAX = 0.4  # blocks above this (and short) are boilerplate
 LINK_DENSE_MIN_WORDS = 25  # long blocks survive even if link-dense
+SUBTREE_LINK_DENSITY_MAX = 0.5  # container subtrees above this are chrome
+
+_CELL_SEP = " | "  # canonical cell separator in reconstructed table rows
 
 
 @dataclass
@@ -50,6 +59,8 @@ class HtmlBlock:
     link_chars: int = 0
     total_chars: int = 0
     in_chrome: bool = False
+    path: tuple[int, ...] = ()  # enclosing container ids, outermost first
+    cells: tuple[str, ...] = ()  # table_row: reconstructed cell texts
 
     @property
     def link_density(self) -> float:
@@ -58,6 +69,9 @@ class HtmlBlock:
     @property
     def word_count(self) -> int:
         return len(self.text.split())
+
+
+_CELL_MARK = "\x00"  # in-buffer cell boundary, split out at flush
 
 
 class _BlockParser(HTMLParser):
@@ -69,12 +83,22 @@ class _BlockParser(HTMLParser):
         self._cur: HtmlBlock | None = None
         self._buf: list[str] = []
         self._link_buf_chars = 0
+        self._n_containers = 0
+        self._cstack: list[int] = []
 
     def _flush(self) -> None:
         if self._cur is None:
             return
         text = "".join(self._buf)
-        self._cur.text = " ".join(text.split())
+        if self._cur.tag == "table_row":
+            # reconstruct cell structure from td/th boundaries
+            cells = tuple(
+                " ".join(c.split()) for c in text.split(_CELL_MARK) if c.strip()
+            )
+            self._cur.cells = cells
+            self._cur.text = _CELL_SEP.join(cells)
+        else:
+            self._cur.text = " ".join(text.replace(_CELL_MARK, " ").split())
         self._cur.total_chars = len(self._cur.text)
         self._cur.link_chars = min(self._link_buf_chars, self._cur.total_chars)
         if self._cur.text:
@@ -88,8 +112,15 @@ class _BlockParser(HTMLParser):
             self._chrome_depth += 1
         if tag == "a":
             self._link_depth += 1
-        if tag in ("td", "th", "br") and self._cur is not None:
-            self._buf.append(" ")  # cell/line separators inside a block
+        if tag in ("td", "th") and self._cur is not None:
+            self._buf.append(
+                _CELL_MARK if self._cur.tag == "table_row" else " "
+            )
+        elif tag == "br" and self._cur is not None:
+            self._buf.append(" ")
+        if tag in _CONTAINERS:
+            self._cstack.append(self._n_containers)
+            self._n_containers += 1
         if tag in _BLOCK_TAGS and _BLOCK_TAGS[tag] is not None:
             self._flush()
             level = int(tag[1]) if tag[0] == "h" and tag[1].isdigit() else None
@@ -98,6 +129,7 @@ class _BlockParser(HTMLParser):
                 level=level,
                 text="",
                 in_chrome=self._chrome_depth > 0,
+                path=tuple(self._cstack),
             )
 
     def handle_endtag(self, tag: str) -> None:
@@ -105,6 +137,8 @@ class _BlockParser(HTMLParser):
             self._chrome_depth -= 1
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
+        if tag in _CONTAINERS and self._cstack:
+            self._cstack.pop()  # tolerant: unbalanced HTML pops the nearest
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -218,6 +252,35 @@ def is_boilerplate(b: HtmlBlock) -> bool:
     return False
 
 
+def subtree_boilerplate_ids(blocks: list[HtmlBlock]) -> set[int]:
+    """DOM-subtree density scoring (readability/Boilerpipe family, public):
+    container ids whose aggregate text is link-dominated AND hold no
+    substantial block. Catches what the per-block rule can't: the non-linky
+    header/intro sitting inside a related-links box inherits its subtree's
+    verdict."""
+    agg: dict[int, list[int]] = {}  # cid -> [text_chars, link_chars, max_words]
+    for b in blocks:
+        if b.in_chrome:
+            continue  # chrome already handled; don't skew container stats
+        for cid in b.path:
+            a = agg.setdefault(cid, [0, 0, 0])
+            a[0] += b.total_chars
+            a[1] += b.link_chars
+            a[2] = max(a[2], b.word_count)
+    return {
+        cid
+        for cid, (t, l, mw) in agg.items()
+        if t > 0 and l / t > SUBTREE_LINK_DENSITY_MAX and mw < LINK_DENSE_MIN_WORDS
+    }
+
+
 def extract_main_blocks(html: str) -> list[HtmlBlock]:
-    """Main-content blocks in document order (boilerplate dropped)."""
-    return [b for b in parse_html_blocks(html) if not is_boilerplate(b)]
+    """Main-content blocks in document order: chrome subtrees, link-dense
+    short blocks, and link-dominated container subtrees dropped."""
+    blocks = parse_html_blocks(html)
+    bad_subtrees = subtree_boilerplate_ids(blocks)
+    return [
+        b
+        for b in blocks
+        if not is_boilerplate(b) and not (bad_subtrees and set(b.path) & bad_subtrees)
+    ]

@@ -52,7 +52,7 @@ def test_main_blocks_order_tags_levels():
         ("para", None, "A real paragraph with plenty of prose content inside it."),
         ("list_item", None, "item one"),
         ("list_item", None, "item two"),
-        ("table_row", None, "cell a cell b"),
+        ("table_row", None, "cell a | cell b"),
     ]
 
 
@@ -66,3 +66,55 @@ def test_long_link_dense_block_survives():
 def test_whitespace_only_block_never_emitted():
     blocks = parse_html_blocks("<p>   </p><p>real</p>")
     assert [b.text for b in blocks] == ["real"]
+
+
+def test_table_cell_reconstruction():
+    """Table rows carry reconstructed cell tuples; text joins cells ' | '."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import extract_main_blocks
+
+    html = ("<main><table><caption>Stats</caption>"
+            "<tr><th>Name</th><th>Score</th></tr>"
+            "<tr><td>alpha beta</td><td>42</td></tr></table></main>")
+    blocks = extract_main_blocks(html)
+    assert [(b.tag, b.text) for b in blocks] == [
+        ("table", "Stats"),
+        ("table_row", "Name | Score"),
+        ("table_row", "alpha beta | 42"),
+    ]
+    assert blocks[1].cells == ("Name", "Score")
+    assert blocks[2].cells == ("alpha beta", "42")
+
+
+def test_subtree_scoring_drops_related_box_header():
+    """The non-linky header inside a link-dominated container is dropped by
+    DOM-subtree density scoring (the per-block rule alone can't see it)."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        extract_main_blocks,
+        is_boilerplate,
+        parse_html_blocks,
+    )
+
+    html = ("<main><p>A long paragraph with plenty of ordinary words to stay "
+            "above every single threshold used for link density here.</p>"
+            "<div><h2>Related Posts</h2><ul>"
+            "<li><a href=/r1>first related link</a></li>"
+            "<li><a href=/r2>second related link</a></li>"
+            "<li><a href=/r3>third related link</a></li></ul></div></main>")
+    all_blocks = parse_html_blocks(html)
+    header = next(b for b in all_blocks if b.tag == "header")
+    assert not is_boilerplate(header)  # per-block rule keeps it...
+    texts = [b.text for b in extract_main_blocks(html)]
+    assert "Related Posts" not in texts  # ...subtree scoring drops it
+    assert any("long paragraph" in t for t in texts)
+
+
+def test_subtree_scoring_spares_content_with_long_block():
+    """A container holding one substantial block survives even when links
+    dominate its character count."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import extract_main_blocks
+
+    long_para = ("word " * 30).strip()
+    html = (f"<main><div><p>{long_para}</p>"
+            "<p><a href=/x>a link of moderate length here</a></p></div></main>")
+    texts = [b.text for b in extract_main_blocks(html)]
+    assert long_para in texts
