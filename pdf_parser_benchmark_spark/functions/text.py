@@ -152,6 +152,159 @@ def lang_id(col: Column) -> Column:
     return result
 
 
+# ---------------------------------------------------------------------------
+# char-3-gram language ID (Cavnar–Trenkle-style n-gram profiles, public
+# literature: "N-Gram-Based Text Categorization", 1994) — replaces the
+# 4-language stopword heuristic as the serious path; 10 languages.
+# Seed corpora are small original everyday-prose samples; profiles are the
+# top-N most frequent char trigrams, derived deterministically at import and
+# shared verbatim with the generated DuckDB oracle SQL.
+# ---------------------------------------------------------------------------
+
+_LANG3_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then runs back to "
+        "the house where the children are waiting for their dinner this "
+        "evening because the weather has been cold and the people in the "
+        "town have gathered to watch the lights come on while they talk "
+        "about the things that happened during the week and what they will "
+        "do when the summer finally arrives with its long warm days"
+        " i would have thought that you could see why this should not be done before we know whether it works because there is nothing more important than getting it right which is why they said we must wait until everything has been checked"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "dann zurück zu dem haus in dem die kinder auf ihr abendessen "
+        "warten weil das wetter kalt geworden ist und die menschen in der "
+        "stadt sich versammelt haben um die lichter zu sehen während sie "
+        "über die dinge sprechen die in der woche geschehen sind und was "
+        "sie machen werden wenn der sommer endlich mit seinen langen "
+        "warmen tagen kommt"
+        " ich hätte gedacht dass du sehen könntest warum das nicht gemacht werden sollte bevor wir wissen ob es funktioniert denn es gibt nichts wichtigeres als es richtig zu machen weshalb sie sagten wir müssen warten bis alles geprüft wurde"
+    ),
+    "es": (
+        "el zorro marrón rápido salta sobre el perro perezoso y luego "
+        "vuelve corriendo a la casa donde los niños esperan su cena esta "
+        "noche porque el tiempo se ha vuelto frío y la gente del pueblo se "
+        "ha reunido para ver las luces mientras hablan de las cosas que "
+        "pasaron durante la semana y de lo que harán cuando por fin llegue "
+        "el verano con sus días largos y cálidos"
+        " yo habría pensado que podrías ver por qué esto no debería hacerse antes de que sepamos si funciona porque no hay nada más importante que hacerlo bien y por eso dijeron que debemos esperar hasta que todo haya sido comprobado"
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux puis "
+        "retourne vers la maison où les enfants attendent leur dîner ce "
+        "soir parce que le temps est devenu froid et que les gens de la "
+        "ville se sont rassemblés pour regarder les lumières pendant "
+        "qu'ils parlent des choses qui se sont passées pendant la semaine "
+        "et de ce qu'ils feront quand l'été arrivera enfin avec ses "
+        "longues journées chaudes"
+        " j'aurais pensé que tu pourrais voir pourquoi cela ne devrait pas être fait avant que nous sachions si cela fonctionne parce qu'il n'y a rien de plus important que de bien le faire c'est pourquoi ils ont dit que nous devons attendre jusqu'à ce que tout ait été vérifié"
+    ),
+    "it": (
+        "la volpe marrone veloce salta sopra il cane pigro e poi torna di "
+        "corsa alla casa dove i bambini aspettano la loro cena questa sera "
+        "perché il tempo è diventato freddo e la gente della città si è "
+        "riunita per guardare le luci mentre parlano delle cose che sono "
+        "successe durante la settimana e di quello che faranno quando "
+        "finalmente arriverà l'estate con le sue lunghe giornate calde"
+        " avrei pensato che tu potessi vedere perché questo non dovrebbe essere fatto prima che sappiamo se funziona perché non c'è niente di più importante che farlo bene ed è per questo che hanno detto che dobbiamo aspettare finché tutto sia stato controllato"
+    ),
+    "pt": (
+        "a raposa marrom rápida salta sobre o cão preguiçoso e depois "
+        "volta correndo para a casa onde as crianças esperam o seu jantar "
+        "esta noite porque o tempo ficou frio e as pessoas da cidade se "
+        "reuniram para ver as luzes enquanto falam sobre as coisas que "
+        "aconteceram durante a semana e sobre o que farão quando o verão "
+        "finalmente chegar com os seus dias longos e quentes"
+        " eu teria pensado que você poderia ver por que isso não deveria ser feito antes de sabermos se funciona porque não há nada mais importante do que fazê-lo bem e é por isso que disseram que devemos esperar até que tudo tenha sido verificado"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en rent dan terug "
+        "naar het huis waar de kinderen op hun avondeten wachten omdat het "
+        "weer koud is geworden en de mensen in de stad zijn samengekomen "
+        "om naar de lichten te kijken terwijl ze praten over de dingen die "
+        "in de week zijn gebeurd en wat ze zullen doen wanneer de zomer "
+        "eindelijk komt met zijn lange warme dagen"
+        " ik zou gedacht hebben dat je zou kunnen zien waarom dit niet gedaan zou moeten worden voordat we weten of het werkt omdat er niets belangrijker is dan het goed te doen en daarom zeiden ze dat we moeten wachten totdat alles gecontroleerd is"
+    ),
+    "sv": (
+        "den snabba bruna räven hoppar över den lata hunden och springer "
+        "sedan tillbaka till huset där barnen väntar på sin middag i kväll "
+        "eftersom vädret har blivit kallt och människorna i staden har "
+        "samlats för att se ljusen medan de pratar om sakerna som hände "
+        "under veckan och vad de ska göra när sommaren äntligen kommer med "
+        "sina långa varma dagar"
+        " jag skulle ha trott att du kunde se varför detta inte borde göras innan vi vet om det fungerar eftersom det inte finns något viktigare än att göra det rätt och därför sade de att vi måste vänta tills allt har kontrollerats"
+    ),
+    "da": (
+        "den hurtige brune ræv springer over den dovne hund og løber så "
+        "tilbage til huset hvor børnene venter på deres aftensmad i aften "
+        "fordi vejret er blevet koldt og folkene i byen har samlet sig for "
+        "at se lysene mens de taler om de ting der skete i løbet af ugen "
+        "og hvad de vil gøre når sommeren endelig kommer med sine lange "
+        "varme dage"
+        " jeg ville have troet at du kunne se hvorfor dette ikke burde gøres før vi ved om det virker fordi der ikke er noget vigtigere end at gøre det rigtigt og derfor sagde de at vi skal vente indtil alt er blevet kontrolleret"
+    ),
+    "pl": (
+        "szybki brązowy lis skacze nad leniwym psem a potem biegnie z "
+        "powrotem do domu gdzie dzieci czekają na kolację tego wieczoru "
+        "ponieważ zrobiło się zimno a ludzie w mieście zebrali się aby "
+        "zobaczyć światła podczas gdy rozmawiają o rzeczach które "
+        "wydarzyły się w ciągu tygodnia i o tym co zrobią kiedy w końcu "
+        "nadejdzie lato ze swoimi długimi ciepłymi dniami"
+        " pomyślałbym że mógłbyś zobaczyć dlaczego nie powinno się tego robić zanim dowiemy się czy to działa ponieważ nie ma nic ważniejszego niż zrobienie tego dobrze i dlatego powiedzieli że musimy czekać aż wszystko zostanie sprawdzone"
+    ),
+}
+
+LANG3_TOP_N = 128
+
+
+def _top_trigrams(text: str, n: int = LANG3_TOP_N) -> list[str]:
+    from collections import Counter
+
+    t = " ".join(text.lower().split())
+    counts = Counter(t[i : i + 3] for i in range(len(t) - 2))
+    return [g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
+
+
+LANG3_PROFILES: dict[str, list[str]] = {
+    lang: _top_trigrams(seed) for lang, seed in _LANG3_SEEDS.items()
+}
+
+
+def _lang3_score(grams: Column, profile: list[str]) -> Column:
+    """Rank-weighted overlap: a doc trigram at profile rank r contributes
+    N+1−r; absent trigrams contribute 0 (Cavnar–Trenkle rank flavor)."""
+    plit = F.array(*[F.lit(g) for g in profile])
+    n = len(profile)
+    return F.aggregate(
+        grams,
+        F.lit(0).cast("bigint"),  # array_position yields bigint
+        lambda acc, g: acc
+        + F.when(
+            F.array_position(plit, g) > 0, F.lit(n + 1) - F.array_position(plit, g)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def lang_id3(col: Column) -> Column:
+    """Char-3-gram language ID over LANG3_PROFILES (10 languages), 'und'
+    when nothing matches. Ties resolve in profile declaration order."""
+    lowered = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: lowered.substr(i, F.lit(3))))
+    scores = {
+        lang: _lang3_score(grams, prof) for lang, prof in LANG3_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in reversed(list(LANG3_PROFILES)):
+        result = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct), the unit for MinHash/Jaccard
     dedup. Built-ins only: split → transform over index range → slice+join."""

@@ -1228,6 +1228,49 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _lang3_sql() -> str:
+    """DuckDB twin of lang_id3: same profiles (module-level literals), same
+    rank weights, same declaration-order tie-break."""
+    def arr(prof: list[str]) -> str:
+        return "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in prof) + "]"
+
+    n = TXT.LANG3_TOP_N
+    score_cols = ",\n         ".join(
+        f"list_sum(list_transform(grams, g -> CASE WHEN list_position({arr(prof)}, g) > 0"
+        f" THEN {n} + 1 - list_position({arr(prof)}, g) ELSE 0 END)) AS s_{lang}"
+        for lang, prof in TXT.LANG3_PROFILES.items()
+    )
+    langs = list(TXT.LANG3_PROFILES)
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    case = "\n            ".join(
+        f"WHEN s_{l} > 0 AND s_{l} >= greatest({all_s}) THEN '{l}'" for l in langs
+    )
+    return rf"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                      i -> substr(t, i, 3))) AS grams
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM g
+)
+SELECT doc_id,
+       CASE {case}
+            ELSE 'und' END AS lang_pred
+FROM s"""
+
+
+@query("lang_id3", _lang3_sql())
+def q_lang_id3(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-3-gram language ID (10 languages, Cavnar–Trenkle rank-weighted
+    profiles) — the serious replacement for the stopword heuristic."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TXT.lang_id3(F.col("text")).alias("lang_pred"))
+
+
 @query(
     "doc_fingerprint",
     f"""WITH {_shingle_sql(5)}

@@ -270,3 +270,41 @@ def test_boilerplate_operator_matches_pure_python_on_generated(spark):
         for r in strip_boilerplate(df, "doc", "page", "text").collect()
     }
     assert got == expected
+
+
+def test_lang_id3_accuracy_on_held_out_sentences(spark):
+    """Char-3-gram language ID: ≥90% accuracy on held-out sentences (none
+    appear in the profile seeds) across all 10 profiled languages."""
+    from pdf_parser_benchmark_spark.functions.text import LANG3_PROFILES, lang_id3
+
+    held_out = [
+        ("en", "yesterday my sister bought fresh bread from the small bakery near the station"),
+        ("en", "scientists discovered that regular sleep improves memory and overall health"),
+        ("de", "gestern kaufte meine schwester frisches brot in der kleinen bäckerei am bahnhof"),
+        ("de", "wissenschaftler haben entdeckt dass regelmäßiger schlaf das gedächtnis verbessert"),
+        ("es", "ayer mi hermana compró pan fresco en la pequeña panadería cerca de la estación"),
+        ("es", "los científicos descubrieron que dormir bien mejora la memoria y la salud"),
+        ("fr", "hier ma soeur a acheté du pain frais dans la petite boulangerie près de la gare"),
+        ("fr", "les chercheurs ont découvert que le sommeil régulier améliore la mémoire"),
+        ("it", "ieri mia sorella ha comprato del pane fresco nella piccola panetteria vicino alla stazione"),
+        ("it", "gli scienziati hanno scoperto che il sonno regolare migliora la memoria"),
+        ("pt", "ontem a minha irmã comprou pão fresco na pequena padaria perto da estação"),
+        ("pt", "os cientistas descobriram que o sono regular melhora a memória e a saúde"),
+        ("nl", "gisteren kocht mijn zus vers brood bij de kleine bakkerij bij het station"),
+        ("nl", "wetenschappers hebben ontdekt dat regelmatige slaap het geheugen verbetert"),
+        ("sv", "igår köpte min syster färskt bröd från det lilla bageriet nära stationen"),
+        ("sv", "forskare har upptäckt att regelbunden sömn förbättrar minnet och hälsan"),
+        ("da", "i går købte min søster frisk brød fra det lille bageri nær stationen"),
+        ("da", "forskere har opdaget at regelmæssig søvn forbedrer hukommelsen og helbredet"),
+        ("pl", "wczoraj moja siostra kupiła świeży chleb w małej piekarni obok dworca"),
+        ("pl", "naukowcy odkryli że regularny sen poprawia pamięć i ogólne zdrowie"),
+    ]
+    assert len(LANG3_PROFILES) >= 8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(held_out, "lang string, text string")
+    rows = df.select("lang", lang_id3(F.col("text")).alias("pred")).collect()
+    correct = sum(1 for r in rows if r["lang"] == r["pred"])
+    acc = correct / len(rows)
+    wrong = [(r["lang"], r["pred"]) for r in rows if r["lang"] != r["pred"]]
+    assert acc >= 0.9, f"accuracy {acc:.2f}, misses: {wrong}"
