@@ -110,6 +110,101 @@ def parse_warc_file(data: bytes) -> list[dict]:
     return rows
 
 
+def build_member_index(data: bytes) -> list[tuple[int, int]]:
+    """cdx-style member index for a per-record-gzip WARC: (offset, length)
+    per gzip member. Common Crawl publishes exactly this in its cdx/cluster
+    indexes; building it needs one sequential pass (decompression discarded,
+    only boundaries kept) — at scale you read the published index instead."""
+    index: list[tuple[int, int]] = []
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)
+        d.decompress(data[pos:])
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        index.append((pos, consumed))
+        pos += consumed
+    return index
+
+
+def read_warc_pages_split(
+    spark: SparkSession,
+    path: str,
+    index: list[tuple[int, int]] | None = None,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Member-offset-split ingestion of ONE large .warc.gz: the file's gzip
+    members are partitioned into ``n_groups`` offset ranges and each task
+    seeks+reads only its ranges — a 1 GB CC file becomes N parallel tasks
+    instead of one (the file-granularity ceiling of read_warc_pages).
+
+    ``index`` is the cdx-style (offset, length) list; if omitted it is built
+    driver-side with one sequential pass (build_member_index)."""
+    import pandas as pd
+
+    if index is None:
+        with open(path, "rb") as f:
+            index = build_member_index(f.read())
+    n_groups = n_groups or spark.sparkContext.defaultParallelism
+    n_groups = max(1, min(n_groups, len(index) or 1))
+    rows = [
+        {"path": path, "offset": off, "length": ln, "grp": i % n_groups}
+        for i, (off, ln) in enumerate(index)
+    ]
+    # range partitioning: one group per partition (hash would collide groups)
+    ranges = spark.createDataFrame(
+        rows, "path string, offset long, length long, grp int"
+    ).repartitionByRange(n_groups, "grp")
+
+    def read_ranges(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            out: list[dict] = []
+            for p in b["path"].unique():
+                sub = b[b["path"] == p].sort_values("offset")
+                try:
+                    with open(p, "rb") as f:
+                        for off, ln in zip(sub["offset"], sub["length"]):
+                            f.seek(int(off))
+                            raw = f.read(int(ln))
+                            try:
+                                plain = b"".join(split_gzip_members(raw))
+                            except Exception:
+                                continue  # malformed member: skip, never fatal
+                            for headers, payload in iter_warc_records(plain):
+                                if headers.get("warc-type") != "response":
+                                    continue
+                                url = headers.get("warc-target-uri")
+                                if not url:
+                                    continue
+                                ts = None
+                                raw_ts = headers.get("warc-date")
+                                if raw_ts:
+                                    try:
+                                        ts = datetime.strptime(
+                                            raw_ts, "%Y-%m-%dT%H:%M:%SZ"
+                                        )
+                                    except ValueError:
+                                        ts = None
+                                out.append(
+                                    {
+                                        "url": url,
+                                        "warc_ts": ts,
+                                        "html": _strip_http_headers(payload),
+                                        "text": None,
+                                        "lang": None,
+                                    }
+                                )
+                except OSError:
+                    continue
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return ranges.mapInPandas(read_ranges, schema=PAGES_SCHEMA)
+
+
 def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed WARC ingestion → pages table."""
     import pandas as pd

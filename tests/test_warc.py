@@ -74,3 +74,37 @@ def test_warc_to_extraction_matches_direct_pipeline(spark, rows, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_member_offset_split_parity_and_parallelism(spark, rows, tmp_path):
+    """One large .warc.gz split by member offsets across ≥4 tasks yields the
+    SAME rows as the whole-file reader (canonical parity), and the work
+    actually lands on multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.sources.warc import (
+        build_member_index,
+        read_warc_pages,
+        read_warc_pages_split,
+    )
+
+    big = rows * 10  # 40 records → one file, many members
+    data = build_warc(big, gzip_members=True)
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(data)
+
+    index = build_member_index(data)
+    assert len(index) == len(big) + 1  # warcinfo + responses
+    assert sum(ln for _, ln in index) == len(data)  # covers the whole file
+
+    whole = read_warc_pages(spark, str(p))
+    split = read_warc_pages_split(spark, str(p), n_groups=4)
+    key = lambda r: (r["url"], bytes(r["html"]))
+    assert sorted(map(key, split.collect())) == sorted(map(key, whole.collect()))
+
+    # the split read really uses ≥4 tasks
+    parts = (
+        split.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert parts >= 4
