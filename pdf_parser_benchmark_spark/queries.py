@@ -1727,6 +1727,273 @@ def q_extract_digest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# webtext training-data ops: URL canonicalization/dedup, PII redaction,
+# deterministic sampling, corpus n-gram stats
+# ===========================================================================
+
+# deterministic synthetic URL per doc (same expression both engines):
+# mixed-case scheme/host, default port, tracking params, fragment
+_URL_SQL = (
+    "'HTTPS://Host' || (doc_id % 7)::VARCHAR || '.Example.COM:443/p/' || "
+    "(doc_id % 50)::VARCHAR || '?utm_source=feed&b=2&a=1#sec'"
+)
+
+
+def _url_col() -> F.Column:
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&b=2&a=1#sec"),
+    )
+
+
+def _canon_url_col(url: F.Column) -> F.Column:
+    """Canonical URL: lowercase scheme+host, strip default port and
+    fragment, drop utm_* tracking params, sort the remaining query params.
+    The standard first step of web-corpus dedup (url-normalization rules
+    are public practice, e.g. RFC 3986 §6)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r":(443|80)$", "")
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda kv: (kv != "") & ~kv.rlike("^utm_"),
+        )
+    )
+    q = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+_CANON_SQL_TMPL = """
+lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(443|80)$', '') ||
+regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) ||
+CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                                                kv -> kv <> '' AND NOT regexp_matches(kv, '^utm_'))), '&') <> ''
+     THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                                                       kv -> kv <> '' AND NOT regexp_matches(kv, '^utm_'))), '&')
+     ELSE '' END
+"""
+
+
+@query(
+    "url_canonicalize",
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+SELECT doc_id, url, {_CANON_SQL_TMPL.format(u="url")} AS canon_url FROM u""",
+)
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Webtext op: URL canonicalization (pure built-ins, codegen'd)."""
+    docs = _t(spark, sf, "documents")
+    url = _url_col()
+    return docs.select(
+        "doc_id", url.alias("url"), _canon_url_col(url).alias("canon_url")
+    )
+
+
+@query(
+    "url_dedup",
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {_CANON_SQL_TMPL.format(u="url")} AS canon_url FROM u)
+SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM c GROUP BY canon_url""",
+)
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Webtext op: exact dedup on the canonical URL (the synthetic URLs
+    collide on doc_id % 50 by construction, so real groups exist)."""
+    docs = _t(spark, sf, "documents")
+    canon = _canon_url_col(_url_col())
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+@query(
+    "pii_redact",
+    rf"""WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(txt, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM t""",
+)
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Webtext op: PII redaction (emails/phones → placeholders) with
+    per-doc counts — the standard scrub pass before training-data release.
+    Patterns avoid lookaround so Java regex and RE2 agree."""
+    docs = _t(spark, sf, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "hash_sample",
+    """SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10""",
+)
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Webtext op: deterministic 10% hash sample — stable across engines,
+    partitionings, and reruns (what rand()-sampling is not), so sampled
+    corpora are reproducible at any scale."""
+    docs = _t(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.filter(bucket < 10).select("doc_id", "source")
+
+
+@query(
+    "ngram_topk",
+    r"""WITH w AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM w
+)
+SELECT gram, count(*) AS n
+FROM bi GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20""",
+)
+def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Webtext op: corpus-level top-20 word bigrams (every occurrence, not
+    distinct) — the n-gram statistics pass of corpus analysis. Map-side
+    partial aggregation keeps the shuffle at |vocab²∩corpus|, not |tokens|."""
+    docs = _t(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    # NB Spark's sequence(1, 0) DESCENDS instead of being empty — guard
+    # single-word docs explicitly (DuckDB generate_series(1, 0) is empty)
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# multimodal columns: binary payload + typed metadata through the Arrow
+# decode stage (deterministic-fake codec — container has no PIL/ffmpeg;
+# the fake is sha256-derived, so the WHOLE path has an exact SQL twin)
+# ===========================================================================
+
+def _media_df(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (64 + F.col("doc_id") % 256).cast("int").alias("width"),
+            (64 + F.col("doc_id") % 128).cast("int").alias("height"),
+            (1000 + (F.col("doc_id") % 5) * 700).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _u32le_sql(i: int) -> str:
+    """SQL: i-th little-endian uint32 of sha256(text) (np.frombuffer twin)."""
+    h = "sha256(text)"
+    p = 8 * i + 1
+    return (
+        f"('0x' || substr({h}, {p + 6}, 2) || substr({h}, {p + 4}, 2)"
+        f" || substr({h}, {p + 2}, 2) || substr({h}, {p}, 2))::BIGINT"
+    )
+
+
+@query(
+    "multimodal_decode",
+    f"""SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       (64 + doc_id % 256)::INT AS width,
+       {", ".join(f"round(({_u32le_sql(i)} % 1000) / 1000.0 * 1e6)::BIGINT AS f{i}_micro" for i in range(4))}
+FROM documents""",
+)
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode stage end-to-end: binary payload + meta struct →
+    Arrow mapInPandas decode → feature vector. The deterministic-fake codec
+    (sha256-stream 'pixels') is what runs in this container; the SQL twin
+    reproduces it bit-exactly, so the plumbing gets a value-level verdict
+    (real codecs swap into _decode_image_real on a cluster)."""
+    from .multimodal.binary_ops import image_features
+
+    feats = image_features(_media_df(spark, sf), deterministic_fake=True)
+    micro = lambda i: F.round(F.col("feat")[i].cast("double") * 1e6).cast("bigint")
+    return feats.select(
+        "media_id",
+        "mime",
+        "width",
+        *[micro(i).alias(f"f{i}_micro") for i in range(4)],
+    )
+
+
+@query(
+    "frame_sample",
+    """SELECT doc_id AS media_id,
+       unnest(generate_series(0, greatest((1000 + (doc_id % 5) * 700) - 1, 0), 1000)) AS frame_ts_ms
+FROM documents""",
+)
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
+    the explode-then-decode shape, pure built-ins."""
+    from .multimodal.binary_ops import frame_sample_plan
+
+    return frame_sample_plan(_media_df(spark, sf), every_ms=1000)
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -77,6 +77,39 @@ def enrich_with_dim(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
     return events_stream.join(F.broadcast(dim), "user_id", "left")
 
 
+def impression_click_join(
+    impressions: DataFrame, clicks: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """TRUE stream-stream interval join: clicks attributed to the same
+    user's impression within `within`. Both sides carry watermarks and the
+    join condition bounds event time on BOTH streams, so the state store
+    can evict rows once the watermark passes — the canonical bounded-state
+    stream-stream join shape (unbounded conditions would grow state
+    forever at 10^12-event scale)."""
+    imp = (
+        impressions.select(
+            F.col("user_id").alias("imp_user"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").cast("timestamp").alias("imp_ts"),
+        ).withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        clicks.select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_id").alias("clk_id"),
+            F.col("ts").cast("timestamp").alias("clk_ts"),
+        ).withWatermark("clk_ts", "2 hours")
+    )
+    return imp.join(
+        clk,
+        F.expr(
+            "imp_user = clk_user AND clk_ts >= imp_ts "
+            f"AND clk_ts <= imp_ts + interval {within}"
+        ),
+        "inner",
+    ).select("imp_user", "imp_id", "clk_id", "imp_ts", "clk_ts")
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_tsec", T.LongType()),

@@ -158,3 +158,41 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     assert got.filter(F.col("segment").isNull()).count() == 0
     one = got.limit(5).collect()
     assert all(r["segment"] == r["user_id"] % 3 for r in one)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """True stream-stream join (watermarks both sides, bounded interval):
+    availableNow over the full events table must equal the batch join."""
+    from pdf_parser_benchmark_spark.streaming.ingest_stream import (
+        impression_click_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    ev.filter(F.col("event_type") == "view").write.parquet(imp_dir)
+    ev.filter(F.col("event_type") == "click").write.parquet(clk_dir)
+    schema = ev.schema
+    imp_s = spark.readStream.schema(schema).parquet(imp_dir)
+    clk_s = spark.readStream.schema(schema).parquet(clk_dir)
+    q = (
+        impression_click_join(imp_s, clk_s)
+        .writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["imp_id"], r["clk_id"])
+        for r in spark.sql("select * from ssjoin").collect()
+    }
+    batch = {
+        (r["imp_id"], r["clk_id"])
+        for r in impression_click_join(
+            spark.read.parquet(imp_dir), spark.read.parquet(clk_dir)
+        ).collect()
+    }
+    assert batch, "fixture must produce attributed clicks"
+    assert streamed == batch
