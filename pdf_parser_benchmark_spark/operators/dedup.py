@@ -406,6 +406,99 @@ def jaccard_neardup_pairs(
     )
 
 
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH (Charikar 2002,
+    public literature): component = md5-derived int in [−1, 1] at 3-decimal
+    granularity — exactly representable, so Spark and the DuckDB oracle
+    compute identical dot-product signs."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bit signature: bit h = 1 iff dot(vec, plane_h) > 0."""
+    bits = []
+    for h, plane in enumerate(planes):
+        plit = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot > 0, F.lit(1 << h).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_neardup_rh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Cosine near-dup pairs with NO blocking column: random-hyperplane
+    sign-LSH buckets candidates (P[bit collision] = 1 − θ/π), banded like
+    MinHash so a pair colliding on ANY band of n_planes/bands bits becomes
+    a candidate; exact cosine verifies. Replaces the label/IVF-list
+    requirement of embedding_neardup_pairs for unlabeled corpora."""
+    planes = hyperplanes(n_planes, dim)
+    per_band = n_planes // bands
+    mask = (1 << per_band) - 1
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rh_signature(F.col(vec_col), planes).alias("sig"),
+    ).persist()  # both self-join sides read it
+    banded = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.call_function(
+                            "shiftright", F.col("sig"), F.lit(b * per_band)
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        # round ONCE at the output precision: re-rounding a 6-digit value to
+        # 4 digits double-rounds (0.31234992 → 0.312350 → 0.3124 ≠ 0.3123)
+        .withColumn("cosine", cosine_rounded(F.col("a.v"), F.col("b.v"), digits))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

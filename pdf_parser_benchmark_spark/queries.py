@@ -979,6 +979,46 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RH_PLANES = DD.hyperplanes(16, 64)
+
+
+def _rh_sig_sql(vec: str = "embedding") -> str:
+    terms = []
+    for h, plane in enumerate(_RH_PLANES):
+        plit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+            f" i -> {vec}[i] * ({plit})[i])) > 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+@query(
+    "embedding_neardup_rh",
+    f"""WITH sig AS (
+  SELECT vec_id, embedding, {_rh_sig_sql()} AS sig FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding, t.band, (sig >> (t.band * 8)) & 255 AS bucket
+  FROM sig, (SELECT unnest([0, 1]) AS band) t
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.3""",
+)
+def q_embedding_neardup_rh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup with NO blocking column: random-hyperplane
+    sign-LSH (Charikar 2002) buckets candidates, exact cosine verifies —
+    the unlabeled-corpus variant of q:embedding_neardup. Rounds cosine ONCE
+    at 4 digits (double rounding via 6 then 4 flips boundary values)."""
+    emb = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_rh(
+        emb, "vec_id", "embedding", threshold=0.3, digits=4
+    )
+
+
 # ===========================================================================
 # dedup suite
 # ===========================================================================

@@ -77,6 +77,18 @@ def enrich_with_dim(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
     return events_stream.join(F.broadcast(dim), "user_id", "left")
 
 
+def dedup_stream(events_stream: DataFrame, within: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving within
+    the watermark horizon are dropped, state for older keys is evicted —
+    the streaming twin of exact_dedup for at-least-once upstream sources
+    (plain dropDuplicates would grow state forever at web scale)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def impression_click_join(
     impressions: DataFrame, clicks: DataFrame, within: str = "30 minutes"
 ) -> DataFrame:

@@ -308,3 +308,30 @@ def test_lang_id3_accuracy_on_held_out_sentences(spark):
     acc = correct / len(rows)
     wrong = [(r["lang"], r["pred"]) for r in rows if r["lang"] != r["pred"]]
     assert acc >= 0.9, f"accuracy {acc:.2f}, misses: {wrong}"
+
+
+def test_embedding_rh_lsh_finds_planted_neardups(spark):
+    """Random-hyperplane sign-LSH (no blocking column) recovers planted
+    high-cosine pairs: 30 vectors + tiny-noise copies, recall ≥ 0.9."""
+    import random
+
+    from pdf_parser_benchmark_spark.operators.dedup import embedding_neardup_rh
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x + rng.uniform(-0.05, 0.05)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_rh(
+            df, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    # verify stage guarantees precision: every pair really is >= threshold
+    assert got  # non-empty

@@ -196,3 +196,27 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert batch, "fixture must produce attributed clicks"
     assert streamed == batch
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once input (every event written twice) streams through
+    dropDuplicatesWithinWatermark → exactly-once output."""
+    from pdf_parser_benchmark_spark.streaming.ingest_stream import dedup_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    dup_dir = str(tmp_path / "dup")
+    ev.unionAll(ev).write.parquet(dup_dir)  # duplicated source
+    stream = spark.readStream.schema(ev.schema).parquet(dup_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select event_id from dedup_s").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == ev.count()
