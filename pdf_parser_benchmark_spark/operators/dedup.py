@@ -505,8 +505,11 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float = 0.95,
+    digits: int = 6,
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (label / IVF list)."""
+    """Cosine near-dup pairs within a blocking key (label / IVF list).
+    `digits` sets the single output rounding — never re-round the result
+    (double rounding flips boundary values)."""
     docs = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
@@ -516,7 +519,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, "blk")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine_rounded(F.col("a.v"), F.col("b.v")))
+        .withColumn("cosine", cosine_rounded(F.col("a.v"), F.col("b.v"), digits))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )

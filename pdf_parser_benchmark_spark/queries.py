@@ -968,14 +968,14 @@ def q_adaptive_retry_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.3""",
 )
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked on label."""
+    """Embedding-cosine near-dup pairs, blocked on label. Rounds ONCE at 4
+    digits (re-rounding a 6-digit value double-rounds boundary values)."""
     emb = _t(spark, sf, "embeddings")
-    out = DD.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", 0.3)
-    return out.select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    return DD.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.3, digits=4
     )
 
 
