@@ -164,22 +164,67 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+_NP_TABLES = None
+
+
+def _np_tables():
+    """numpy lookup tables for the vectorized decrypt path (built lazily)."""
+    global _NP_TABLES
+    if _NP_TABLES is None:
+        import numpy as np
+
+        inv_sbox = np.array(_INV_SBOX, dtype=np.uint8)
+        gmul = {
+            m: np.array([_gmul(m, x) for x in range(256)], dtype=np.uint8)
+            for m in (9, 11, 13, 14)
+        }
+        # inverse ShiftRows as a flat 16-permutation (row r shifts right r)
+        perm = np.empty(16, dtype=np.int64)
+        for r in range(4):
+            for c in range(4):
+                perm[r + 4 * c] = r + 4 * ((c - r) % 4)
+        _NP_TABLES = (np, inv_sbox, gmul, perm)
+    return _NP_TABLES
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """iv-prefixed ciphertext → plaintext with PKCS#7 padding stripped."""
+    """iv-prefixed ciphertext → plaintext with PKCS#7 padding stripped.
+
+    CBC DECRYPTION is block-parallel (p_i = D(c_i) ⊕ c_{i−1}) — the block
+    function runs vectorized over ALL blocks with numpy table lookups, then
+    one shifted XOR applies the chaining. ~10× the scalar loop; encryption
+    stays scalar (CBC chaining is inherently sequential, and the writer
+    only runs at fixture-generation time)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload")
+    np, inv_sbox, gmul, perm = _np_tables()
     rk = _key_expansion(key)
-    iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        blk = ct[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
-        prev = blk
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ct = buf[16:].reshape(-1, 16)  # blocks
+    prev = buf[:-16].reshape(-1, 16)  # iv + all-but-last blocks (chaining)
+
+    s = ct ^ np.array(rk[10], dtype=np.uint8)
+    s = s[:, perm]
+    s = inv_sbox[s]
+    for rnd in range(9, 0, -1):
+        s = s ^ np.array(rk[rnd], dtype=np.uint8)
+        # InvMixColumns on the (n, 4, 4) column-major view
+        v = s.reshape(-1, 4, 4)  # [block, column, row]
+        m = (
+            gmul[14][v]
+            ^ gmul[11][np.roll(v, -1, axis=2)]
+            ^ gmul[13][np.roll(v, -2, axis=2)]
+            ^ gmul[9][np.roll(v, -3, axis=2)]
+        )
+        s = m.reshape(-1, 16)
+        s = s[:, perm]
+        s = inv_sbox[s]
+    plain = (s ^ np.array(rk[0], dtype=np.uint8)) ^ prev
+    out = plain.tobytes()
     padlen = out[-1]
     if not 1 <= padlen <= 16:
         raise ValueError("bad PKCS#7 padding")
-    return bytes(out[:-padlen])
+    return out[:-padlen]
 
 
 # ---------------------------------------------------------------------------
