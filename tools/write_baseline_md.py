@@ -38,6 +38,7 @@ def main() -> None:
     e832_med, e832_best = eff(8, 32)
     any_r = next(iter(levels.values()))
     n_rows, mb = any_r["docs"], any_r["bytes_in"] / 1e6
+    n_trials = len(any_r["times_sec"])
 
     rows = "\n".join(
         f"| {c} cores | {levels[c]['median_sec']} | {levels[c]['dps_med']} | "
@@ -54,7 +55,7 @@ level runs in a fresh process pinned (`taskset`) to exactly its cores — an
 N-core machine vs a 4N-core machine — with its own JVM, reading the same
 {n_rows}-row input parquet ({mb:.0f} MB HTML+PDF payload, ~10% PDF,
 256 files), zero-shuffle plan (task granularity from 2 MB input splits),
-5 timed trials after one warm-up, nothing else running on the box.
+{n_trials} timed trials after one warm-up, nothing else running on the box.
 
 **Correctness gate passed first**: identical per-doc canonical-JSON md5
 fingerprints across ALL levels (bit_xor fold `{any_r['fingerprint']}`),
