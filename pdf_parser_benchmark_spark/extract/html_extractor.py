@@ -170,12 +170,73 @@ _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"  # comment
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # cdata
     r"|<[!?][^>]*>?"  # doctype / pi
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"  # end tag  (group 1)
-    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(>)?"  # start tag (2,3,4)
+    # end tags mirror html.parser's two-path parse exactly:
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"  # strict end (g1; ws allowed)
+    r"|</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"  # tolerant end (g2; name may
+    #   contain junk like 'li<', NO leading ws, consumes to the first '>')
+    r"|</[^>]*>"  # bogus end (</>, </3>, </ x>): consumed, emits nothing
+    # (start tags are handled OUTSIDE this regex — see _parse_start, which
+    # replicates html.parser's parse_starttag decision procedure verbatim)
     r"|[^<]+"  # text
-    r"|<",  # stray '<'
+    r"|<",  # stray '<' (incl. unterminated '</...' at EOF via fallthrough)
     re.S,
 )
+
+# html.parser's own tolerant tag machinery — reused directly so the fast
+# scanner's start-tag decisions are identical BY CONSTRUCTION (mutation
+# fuzzing found hand-rolled approximations diverging on quote/junk edges)
+import html.parser as _hp  # noqa: E402
+
+_LOCATE_START = _hp.locatestarttagend_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+
+
+def _parse_start(html: str, i: int) -> tuple[str, str | None, bool, int]:
+    """Replicates HTMLParser.check_for_whole_start_tag + parse_starttag for
+    a '<letter…' at i, with the whole document in hand (EOF == buffer end).
+    → (kind, name, selfclosing, next_pos); kind ∈ {tag, data, incomplete}.
+    For kind='data'/'incomplete' the span [i:next_pos) is character data."""
+    m = _LOCATE_START.match(html, i)
+    j = m.end()
+    nxt = html[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if html.startswith("/>", j):
+            endpos = j + 2
+        else:
+            endpos = -1  # '/' at buffer end → incomplete
+    elif nxt == "" or nxt in (
+        "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ):
+        endpos = -1  # end of input in/before attribute value
+    else:
+        endpos = j if j > i else i + 1
+        return "data", None, False, endpos  # bogus input → data span
+    if endpos < 0:
+        # incomplete at EOF: goahead(end=1) emits data through the next '>'
+        # (inclusive), else up to the next '<', else one char — then resumes
+        k = html.find(">", i + 1)
+        if k < 0:
+            k = html.find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        return "incomplete", None, False, k
+    tm = _TAGFIND.match(html, i + 1)
+    name = tm.group(1).lower()
+    k = tm.end()
+    while k < endpos:  # consume attributes exactly like parse_starttag
+        am = _ATTRFIND.match(html, k)
+        if not am:
+            break
+        k = am.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        return "data", None, False, endpos  # junk inside tag → data span
+    return "tag", name, end.endswith("/>"), endpos
 
 _RAWTEXT = {"script", "style"}
 
@@ -186,30 +247,21 @@ def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
     unescape_needed = "&" in html
     pos, n = 0, len(html)
     while pos < n:
-        m = _TOKEN_RE.match(html, pos)
-        if m is None:  # cannot happen (last alternatives cover everything)
-            data(html[pos:])
-            break
-        tok = m.group(0)
-        pos = m.end()
-        c0 = tok[0]
-        if c0 != "<":
-            if unescape_needed and "&" in tok:
-                tok = _unescape(tok)
-            data(tok)
-            continue
-        if m.group(1) is not None:  # end tag
-            end(m.group(1).lower())
-            continue
-        if m.group(2) is not None:  # start tag
-            name = m.group(2).lower()
-            attrs_src = m.group(3) or ""
-            closed = m.group(4) is not None
-            if not closed:
-                # unterminated '<tag ...' at EOF: html.parser treats as data
+        # start tags take the stdlib-identical decision path
+        if (
+            html[pos] == "<"
+            and pos + 1 < n
+            and ("a" <= html[pos + 1] <= "z" or "A" <= html[pos + 1] <= "Z")
+        ):
+            kind, name, selfclosing, nxt = _parse_start(html, pos)
+            if kind != "tag":
+                tok = html[pos:nxt]
+                if unescape_needed and "&" in tok:
+                    tok = _unescape(tok)
                 data(tok)
+                pos = nxt
                 continue
-            selfclosing = attrs_src.rstrip().endswith("/")
+            pos = nxt
             start(name, ())
             if selfclosing:
                 end(name)
@@ -224,8 +276,23 @@ def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
                     pos = n if gt < 0 else gt + 1
                     end(name)
             continue
-        # comments / doctype / cdata / stray '<': html.parser emits nothing
-        # for the first three; a stray '<' becomes data
+        m = _TOKEN_RE.match(html, pos)
+        if m is None:  # cannot happen (last alternatives cover everything)
+            data(html[pos:])
+            break
+        tok = m.group(0)
+        pos = m.end()
+        c0 = tok[0]
+        if c0 != "<":
+            if unescape_needed and "&" in tok:
+                tok = _unescape(tok)
+            data(tok)
+            continue
+        if m.group(1) is not None or m.group(2) is not None:  # end tag
+            end((m.group(1) or m.group(2)).lower())
+            continue
+        # comments / doctype / cdata / bogus end tag: html.parser emits
+        # nothing for these; a stray '<' becomes data
         if tok == "<":
             data("<")
     p._flush()

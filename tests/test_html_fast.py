@@ -75,3 +75,50 @@ def test_fast_path_never_crashes_via_fallback(raw):
 
     blocks = parse_html_blocks(raw)
     assert all(b.text for b in blocks)
+
+
+def test_identical_under_corpus_mutations():
+    """Mutation fuzz: take real corpus pages, apply byte-level mutations
+    (truncate, splice, bit-flip inside tags, delete closers) — the fast
+    tokenizer must stay differentially identical to the stdlib parser and
+    neither may raise."""
+    import random
+
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_fast,
+        parse_html_blocks_stdlib,
+    )
+    from pdf_parser_benchmark_spark.synth.pages import gen_row, is_pdf_row
+
+    rng = random.Random(11)
+    pages = [
+        gen_row(i)["html"].decode("utf-8")
+        for i in range(80)
+        if not is_pdf_row(i)
+    ][:40]
+
+    def mutate(s: str) -> str:
+        ops = rng.sample(range(5), k=rng.randint(1, 3))
+        for op in ops:
+            if not s:
+                break
+            if op == 0:  # truncate mid-document (possibly mid-tag)
+                s = s[: rng.randrange(1, len(s))]
+            elif op == 1:  # delete a closing tag
+                s = s.replace("</p>", "", 1) if "</p>" in s else s
+            elif op == 2:  # splice a fragment from elsewhere
+                i, j = sorted(rng.randrange(len(s)) for _ in range(2))
+                s = s[:i] + s[j:] + s[i:j]
+            elif op == 3:  # corrupt a random char
+                i = rng.randrange(len(s))
+                s = s[:i] + rng.choice("<>&\"'x") + s[i + 1 :]
+            else:  # duplicate an opener (unbalanced nesting)
+                s = s.replace("<div>", "<div><div>", 1) if "<div>" in s else s
+        return s
+
+    for page in pages:
+        for _ in range(5):
+            doc = mutate(page)
+            a = [(b.tag, b.text, b.cells, b.path) for b in parse_html_blocks_stdlib(doc)]
+            c = [(b.tag, b.text, b.cells, b.path) for b in parse_html_blocks_fast(doc)]
+            assert a == c, doc[:200]

@@ -72,3 +72,43 @@ def test_lineage_uses_partial_aggregation(spark):
     pages = generate_pages_df(spark, 10, partitions=2)
     plan = _plan(lineage_counters(extract_pages(pages, n_splits=8)))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_signature_plan_is_shuffle_free(spark):
+    """The in-row signature fold must not shuffle: no explode/groupBy —
+    the whole stage is a projection over the scan (+ at most the _spread
+    repartition when the input arrives under-partitioned)."""
+    from pdf_parser_benchmark_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a b c", "b c d"]) for i in range(10)],
+        "id long, sh array<string>",
+    ).repartition(4)  # already-parallel input: _spread must not fire
+    plan = _plan(minhash_signature_from_shingles(docs, 16, "md5"))
+    body = plan.split("== Physical Plan ==")[-1]
+    # one repartition exchange from the test setup; no aggregate exchange
+    assert "HashAggregate" not in body and "Generate" not in body
+
+
+def test_webtext_ops_stay_codegen(spark, sf_dir):
+    """URL canonicalization and PII redaction are pure built-in expression
+    pipelines — no Python UDFs (BatchEvalPython/ArrowEvalPython) anywhere."""
+    for q in ("url_canonicalize", "pii_redact", "hash_sample"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "EvalPython" not in plan, q
+
+
+def test_ngram_topk_partial_aggregation(spark, sf_dir):
+    """Corpus n-gram counting must map-side combine: only (gram, partial
+    count) rows shuffle, never raw token rows."""
+    plan = _plan(QUERIES["ngram_topk"](spark, sf_dir))
+    assert "partial_count" in plan and "Exchange" in plan
+
+
+def test_ivf_recall_broadcasts_probes(spark, sf_dir):
+    """The recall query's pruned list join must broadcast the tiny probe
+    side, never shuffle the corpus."""
+    plan = _plan(QUERIES["ivf_recall"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
