@@ -177,6 +177,105 @@ def ivf_topk_kmeans(
     )
 
 
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    k: int = 16,
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al. 2011, public literature): split
+    each vector into m subspaces, k-means each subspace independently
+    (deterministic Lloyd's — same quantizer as kmeans_fit), encode every
+    vector as m code ids. Compresses dim floats → m bytes; probe bandwidth
+    drops dim·4/m per vector (the IVF refinement named in ROADMAP).
+
+    → (codebooks (s, cid, centroid array<float>), encoded (pqid, c0..c{m-1}))."""
+    spark = corpus.sparkSession
+    sub = dim // m
+    enc: DataFrame | None = None
+    cb_rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        sdf = corpus.select(
+            F.col(id_col).alias("pqid"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        asg = kmeans_fit(sdf, "pqid", "embedding", k=k, iterations=iterations)
+        asg = asg.select("pqid", F.col("cid").alias(f"c{s}"))
+        for cid, vec in kmeans_fit.last_centroids:
+            cb_rows.append((s, cid, vec))
+        enc = asg if enc is None else enc.join(asg, "pqid")
+    cb = spark.createDataFrame(cb_rows, "s int, cid int, centroid array<float>")
+    return cb, enc
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    codes: int = 16,
+    iterations: int = 3,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """PQ top-k via asymmetric distance computation (ADC): per query build
+    the m×codes subspace-distance table (broadcast — m·codes rows per
+    query), join it to the exploded code stream, sum per (query, vector).
+    The corpus side never ships vectors — only (id, subspace, code) — which
+    is the whole point at 10^12 vectors."""
+    sub = dim // m
+    cb, enc = pq_fit(corpus, corpus_id, corpus_vec, m=m, dim=dim, k=codes,
+                     iterations=iterations)
+    qsub = queries.select(
+        query_id,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(query_vec), s * sub + 1, sub).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select(query_id, "x.s", "x.qs")
+    tables = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn("d2", F.round(l2_sq(F.col("qs"), F.col("centroid")), 9))
+        .select(query_id, "s", "cid", "d2")
+    )
+    enc_long = enc.select(
+        "pqid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("cid"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("pqid", "x.s", "x.cid")
+    scored = (
+        enc_long.join(F.broadcast(tables), ["s", "cid"])
+        .groupBy(query_id, "pqid")
+        .agg(F.round(F.sum("d2"), 6).alias("adc"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc"), F.asc("pqid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, F.col("pqid").alias(corpus_id), "adc",
+                F.col("rn").alias("rank"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

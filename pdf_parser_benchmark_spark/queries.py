@@ -786,6 +786,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id", "rank")
 
 
+@query("pq_topk")  # iterative (m sub-quantizers × Lloyd's) — pinned oracle
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011): corpus encoded
+    as m=4 byte codes (16× compression of the 64-dim float32 vectors);
+    query ranks by summed subspace-distance table lookups — the corpus side
+    ships only (id, code) pairs. Quality contract (cluster precision 1.0 on
+    clustered data; PQ ties within clusters by construction) is pinned in
+    test_operators_spark."""
+    from .operators.knn import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return pq_topk(queries, corpus, k=3, iterations=2).select(
+        "qid", "vec_id", "rank"
+    )
+
+
 @query(
     "ivf_recall",
     f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1961,6 +1981,84 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
+    )
+
+
+# ===========================================================================
+# skew handling as a tested surface: a 70%-hot key, handled by salting —
+# results identical to the unsalted plan (the oracle is the PLAIN query)
+# ===========================================================================
+
+# 70% of events land on key 0 (hot-host analog); the rest spread over 99
+_SKEY_SQL = "CASE WHEN event_id % 10 < 7 THEN 0 ELSE event_id % 100 END"
+
+
+def _skey_col() -> F.Column:
+    return F.when(F.col("event_id") % 10 < 7, F.lit(0)).otherwise(
+        F.col("event_id") % 100
+    )
+
+
+@query(
+    "salted_agg",
+    f"""SELECT {_SKEY_SQL} AS skey, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS total
+FROM events GROUP BY 1""",
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation over a 70%-hot key: stage 1 groups on
+    (key, salt) so the hot key's rows spread over 16 reducers, stage 2
+    merges the 16 partials — same result as the direct groupBy (the
+    oracle), but no reducer ever holds the whole hot key. The pattern for
+    any skewed agg at 10^12 rows."""
+    ev = _t(spark, sf, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    salted = ev.select(
+        _skey_col().alias("skey"),
+        F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"),
+        dec.alias("v"),
+    )
+    partial = salted.groupBy("skey", "salt").agg(
+        F.count("*").alias("pn"), F.sum("v").alias("pv")
+    )
+    return partial.groupBy("skey").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv").cast("double"), 4).alias("total"),
+    )
+
+
+@query(
+    "salted_join",
+    f"""WITH fact AS (SELECT {_SKEY_SQL} AS skey, value FROM events),
+dim AS (SELECT doc_id AS skey, source FROM documents WHERE doc_id < 100)
+SELECT source, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS total
+FROM fact JOIN dim USING (skey)
+GROUP BY source""",
+)
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewed shuffle join handled by salting: the hot fact key is split
+    across 8 salt buckets and the dim side is REPLICATED ×8, so the
+    sort-merge join on (skey, salt) never concentrates the hot key on one
+    task. merge-join hinted (broadcast would hide the skew); results equal
+    the plain join (the oracle)."""
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+    n_salt = 8
+    fact = ev.select(
+        _skey_col().alias("skey"),
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("salt"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    dim = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("skey"), "source")
+        .crossJoin(spark.range(n_salt).select(F.col("id").cast("bigint").alias("salt")))
+    )
+    joined = fact.join(dim.hint("merge"), ["skey", "salt"])
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v").cast("double"), 4).alias("total"),
     )
 
 

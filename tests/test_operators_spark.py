@@ -335,3 +335,29 @@ def test_embedding_rh_lsh_finds_planted_neardups(spark):
     assert recall >= 0.9, f"recall {recall:.2f}"
     # verify stage guarantees precision: every pair really is >= threshold
     assert got  # non-empty
+
+
+def test_pq_cluster_precision(spark):
+    """PQ/ADC quality contract: on clustered data every top-k result comes
+    from the query's own cluster (precision 1.0). Within-cluster ORDER is
+    quantized away by construction — the contract PQ actually offers is
+    cluster retrieval at 16x vector compression, refined by an exact
+    re-rank in a full pipeline."""
+    import random
+
+    from pdf_parser_benchmark_spark.operators.knn import pq_topk
+
+    rng = random.Random(5)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.05)) for x in centers[i % 8]])
+        for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    res = pq_topk(queries, corpus, k=5).collect()
+    assert len(res) == 20
+    assert all(r["vec_id"] % 8 == r["qid"] % 8 for r in res)
