@@ -88,18 +88,24 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _key_expansion(key: bytes) -> list[list[int]]:
-    """128-bit key → 11 round keys of 16 bytes (as flat lists, col-major)."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    """AES-128 or AES-256 key → 11 / 15 round keys (flat 16-byte lists).
+    FIPS-197 key schedule; Nk=8 adds the extra SubWord at i % 8 == 4."""
+    nk = len(key) // 4
+    assert nk in (4, 8), "AES-128 or AES-256 only"
+    rounds = 10 if nk == 4 else 14
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = ((rcon << 1) ^ 0x1B) & 0xFF if rcon & 0x80 else rcon << 1
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(rounds + 1)]
 
 
 def _shift_rows(s: list[int], inverse: bool = False) -> list[int]:
@@ -127,22 +133,24 @@ def _mix_columns(s: list[int], inverse: bool = False) -> list[int]:
 
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    rounds = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, rounds):
         s = [_SBOX[b] for b in s]
         s = _shift_rows(s)
         s = _mix_columns(s)
         s = [b ^ k for b, k in zip(s, rk[rnd])]
     s = [_SBOX[b] for b in s]
     s = _shift_rows(s)
-    return bytes(b ^ k for b, k in zip(s, rk[10]))
+    return bytes(b ^ k for b, k in zip(s, rk[rounds]))
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[10])]
+    rounds = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[rounds])]
     s = _shift_rows(s, inverse=True)
     s = [_INV_SBOX[b] for b in s]
-    for rnd in range(9, 0, -1):
+    for rnd in range(rounds - 1, 0, -1):
         s = [b ^ k for b, k in zip(s, rk[rnd])]
         s = _mix_columns(s, inverse=True)
         s = _shift_rows(s, inverse=True)
@@ -150,18 +158,76 @@ def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     return bytes(b ^ k for b, k in zip(s, rk[0]))
 
 
+# T-table encryption (classic public technique: merge SubBytes+ShiftRows+
+# MixColumns into four 256-entry 32-bit lookups) — ~5× the naive rounds;
+# used on every encrypt path incl. the R6 hardened hash's inner CBC
+def _build_te():
+    te0 = []
+    for x in range(256):
+        s = _SBOX[x]
+        g2, g3 = _gmul(2, s), _gmul(3, s)
+        te0.append((g2 << 24) | (s << 16) | (s << 8) | g3)
+    ror = lambda v, n: ((v >> n) | (v << (32 - n))) & 0xFFFFFFFF
+    te1 = [ror(v, 8) for v in te0]
+    te2 = [ror(v, 16) for v in te0]
+    te3 = [ror(v, 24) for v in te0]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+
+
+def _rk_words(rk: list[list[int]]) -> list[list[int]]:
+    return [
+        [
+            (r[4 * c] << 24) | (r[4 * c + 1] << 16) | (r[4 * c + 2] << 8) | r[4 * c + 3]
+            for c in range(4)
+        ]
+        for r in rk
+    ]
+
+
+def _enc_block_words(rkw: list[list[int]], w0: int, w1: int, w2: int, w3: int):
+    t0, t1, t2, t3 = _TE0, _TE1, _TE2, _TE3
+    k = rkw[0]
+    w0 ^= k[0]; w1 ^= k[1]; w2 ^= k[2]; w3 ^= k[3]  # noqa: E702
+    rounds = len(rkw) - 1
+    for r in range(1, rounds):
+        k = rkw[r]
+        n0 = t0[w0 >> 24] ^ t1[(w1 >> 16) & 0xFF] ^ t2[(w2 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ k[0]
+        n1 = t0[w1 >> 24] ^ t1[(w2 >> 16) & 0xFF] ^ t2[(w3 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ k[1]
+        n2 = t0[w2 >> 24] ^ t1[(w3 >> 16) & 0xFF] ^ t2[(w0 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ k[2]
+        n3 = t0[w3 >> 24] ^ t1[(w0 >> 16) & 0xFF] ^ t2[(w1 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ k[3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    sb = _SBOX
+    k = rkw[rounds]
+    o0 = ((sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 0xFF] << 16) | (sb[(w2 >> 8) & 0xFF] << 8) | sb[w3 & 0xFF]) ^ k[0]
+    o1 = ((sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 0xFF] << 16) | (sb[(w3 >> 8) & 0xFF] << 8) | sb[w0 & 0xFF]) ^ k[1]
+    o2 = ((sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 0xFF] << 16) | (sb[(w0 >> 8) & 0xFF] << 8) | sb[w1 & 0xFF]) ^ k[2]
+    o3 = ((sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 0xFF] << 16) | (sb[(w1 >> 8) & 0xFF] << 8) | sb[w2 & 0xFF]) ^ k[3]
+    return o0, o1, o2, o3
+
+
+def _cbc_encrypt_words(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Chained CBC encrypt in 32-bit words, T-table block function."""
+    import struct
+
+    rkw = _rk_words(_key_expansion(key))
+    v0, v1, v2, v3 = struct.unpack(">4I", iv)
+    out = bytearray()
+    pack = struct.Struct(">4I").pack
+    for i in range(0, len(data), 16):
+        p0, p1, p2, p3 = struct.unpack_from(">4I", data, i)
+        v0, v1, v2, v3 = _enc_block_words(rkw, p0 ^ v0, p1 ^ v1, p2 ^ v2, p3 ^ v3)
+        out += pack(v0, v1, v2, v3)
+    return bytes(out)
+
+
 def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     """→ iv + ciphertext, PKCS#7-padded (the PDF AESV2 stream layout)."""
-    rk = _key_expansion(key)
     padlen = 16 - (len(data) % 16)
     data = data + bytes([padlen]) * padlen
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _aes_encrypt_block(rk, blk)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_words(key, data, iv)
 
 
 _NP_TABLES = None
@@ -199,14 +265,15 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         raise ValueError("bad AES-CBC payload")
     np, inv_sbox, gmul, perm = _np_tables()
     rk = _key_expansion(key)
+    rounds = len(rk) - 1
     buf = np.frombuffer(data, dtype=np.uint8)
     ct = buf[16:].reshape(-1, 16)  # blocks
     prev = buf[:-16].reshape(-1, 16)  # iv + all-but-last blocks (chaining)
 
-    s = ct ^ np.array(rk[10], dtype=np.uint8)
+    s = ct ^ np.array(rk[rounds], dtype=np.uint8)
     s = s[:, perm]
     s = inv_sbox[s]
-    for rnd in range(9, 0, -1):
+    for rnd in range(rounds - 1, 0, -1):
         s = s ^ np.array(rk[rnd], dtype=np.uint8)
         # InvMixColumns on the (n, 4, 4) column-major view
         v = s.reshape(-1, 4, 4)  # [block, column, row]
@@ -225,6 +292,85 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= padlen <= 16:
         raise ValueError("bad PKCS#7 padding")
     return out[:-padlen]
+
+
+def _cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Raw AES-CBC, no padding, no IV prefix (the R6 building block)."""
+    assert len(data) % 16 == 0
+    return _cbc_encrypt_words(key, data, iv)
+
+
+def _cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    assert len(data) % 16 == 0
+    rk = _key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AES-256 revision 6 (PDF 2.0 / ISO 32000-2 §7.6.4; Adobe ext. level 3)
+# ---------------------------------------------------------------------------
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the hardened SHA-2 iterated hash of R6."""
+    from hashlib import sha256, sha384, sha512
+
+    k = sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k1, k[16:32])
+        mod = sum(e[:16]) % 3
+        k = (sha256, sha384, sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def r6_user_entries(file_key: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """Algorithm 8 (empty user password): → (/U 48 bytes, /UE 32 bytes)."""
+    u = hash_2b(b"", vsalt) + vsalt + ksalt
+    intermediate = hash_2b(b"", ksalt)
+    ue = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
+    return u, ue
+
+
+def r6_owner_entries(
+    owner_pwd: bytes, file_key: bytes, u: bytes, vsalt: bytes, ksalt: bytes
+) -> tuple[bytes, bytes]:
+    """Algorithm 9: → (/O 48 bytes, /OE 32 bytes); udata = the 48-byte /U."""
+    o = hash_2b(owner_pwd, vsalt, u[:48]) + vsalt + ksalt
+    intermediate = hash_2b(owner_pwd, ksalt, u[:48])
+    oe = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
+    return o, oe
+
+
+def r6_verify_user_password(pwd: bytes, u: bytes) -> bool:
+    """Algorithm 11: hash(pwd + validation salt) == U[0:32]."""
+    return hash_2b(pwd, u[32:40]) == u[:32]
+
+
+def r6_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
+    """Algorithm 8 retrieval: decrypt /UE with the key-salt intermediate."""
+    intermediate = hash_2b(pwd, u[40:48])
+    return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
+
+
+def r6_perms(file_key: bytes, p: int, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 10: the /Perms entry (AES-ECB of the perms block)."""
+    blk = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"seed"  # 4 bytes 'random' — deterministic for byte-stable fixtures
+    )
+    return _aes_encrypt_block(_key_expansion(file_key), blk)
 
 
 # ---------------------------------------------------------------------------
@@ -293,15 +439,18 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
-def decrypt_bytes(data: bytes, file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
-    k = object_key(file_key, num, gen, aes)
+def decrypt_bytes(
+    data: bytes, file_key: bytes, num: int, gen: int, aes: bool, r6: bool = False
+) -> bytes:
+    # R6 (AES-256) uses the FILE key directly — no per-object derivation
+    k = file_key if r6 else object_key(file_key, num, gen, aes)
     return aes_cbc_decrypt(k, data) if aes else rc4(k, data)
 
 
 def encrypt_bytes(
-    data: bytes, file_key: bytes, num: int, gen: int, aes: bool
+    data: bytes, file_key: bytes, num: int, gen: int, aes: bool, r6: bool = False
 ) -> bytes:
-    k = object_key(file_key, num, gen, aes)
+    k = file_key if r6 else object_key(file_key, num, gen, aes)
     if not aes:
         return rc4(k, data)
     iv = md5(b"deterministic-iv:%d" % num).digest()  # writer-side: golden fixtures need byte-stable output

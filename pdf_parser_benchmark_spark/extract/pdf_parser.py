@@ -346,6 +346,7 @@ class PdfDocument:
         self._trailer: dict = {}  # newest-wins merge of the trailer chain
         self._file_key: bytes | None = None
         self._aes = False
+        self._r6 = False  # AES-256 rev 6: file key used directly per object
         self._scan_objects()
         self._apply_xref_chain()
         self._setup_encryption()  # BEFORE ObjStm expansion: containers may be encrypted
@@ -559,6 +560,17 @@ class PdfDocument:
         r = int(self.resolve(enc.get("/R")) or 2)
         key_len = int(self.resolve(enc.get("/Length")) or 40) // 8
         aes = False
+        if v == 5:  # AES-256, revision 5/6 (ISO 32000-2 §7.6.4)
+            u = enc.get("/U")
+            ue = enc.get("/UE")
+            if not isinstance(u, bytes) or not isinstance(ue, bytes) or len(u) < 48:
+                raise ValueError("malformed AES-256 /Encrypt dict")
+            if not pdf_crypt.r6_verify_user_password(b"", u):
+                raise ValueError("encrypted document: user password required")
+            self._file_key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+            self._aes = True
+            self._r6 = True
+            return
         if v == 4:
             cf = self.resolve(enc.get("/CF")) or {}
             stdcf = self.resolve(cf.get("/StdCF")) if isinstance(cf, dict) else None
@@ -633,7 +645,9 @@ class PdfDocument:
             and s.num is not None
             and s.dict.get("/Type") != "/XRef"
         ):
-            data = pdf_crypt.decrypt_bytes(data, self._file_key, s.num, 0, self._aes)
+            data = pdf_crypt.decrypt_bytes(
+                data, self._file_key, s.num, 0, self._aes, self._r6
+            )
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(s.dict.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)

@@ -325,12 +325,39 @@ def build_pdf(
     if encrypt:
         from ..extract import pdf_crypt
 
-        aes = encrypt == "aes"
-        r, v, key_len, p = (4, 4, 16, -3904) if aes else (3, 2, 16, -3904)
+        p = -3904
         id0 = _md5(b"".join(objects)).digest()
-        o_entry = pdf_crypt.compute_owner_hash(b"owner", b"", r, key_len)
-        file_key = pdf_crypt.compute_file_key(b"", o_entry, p, id0, r, key_len)
-        u_entry = pdf_crypt.compute_user_hash(file_key, id0, r)
+        if encrypt == "aes256":  # V5/R6 (ISO 32000-2 §7.6.4)
+            aes, r6 = True, True
+            file_key = (_md5(id0).digest() + _md5(id0 + b"k").digest())  # 32B, deterministic
+            vsalt, ksalt = _md5(id0 + b"v").digest()[:8], _md5(id0 + b"s").digest()[:8]
+            ovs, oks = _md5(id0 + b"ov").digest()[:8], _md5(id0 + b"os").digest()[:8]
+            u_entry, ue = pdf_crypt.r6_user_entries(file_key, vsalt, ksalt)
+            o_entry, oe = pdf_crypt.r6_owner_entries(b"owner", file_key, u_entry, ovs, oks)
+            perms = pdf_crypt.r6_perms(file_key, p)
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P %d "
+                b"/U <%s> /UE <%s> /O <%s> /OE <%s> /Perms <%s> >>"
+                % (p, u_entry.hex().encode(), ue.hex().encode(),
+                   o_entry.hex().encode(), oe.hex().encode(), perms.hex().encode())
+            )
+        else:
+            aes, r6 = encrypt == "aes", False
+            r, v, key_len = (4, 4, 16) if aes else (3, 2, 16)
+            o_entry = pdf_crypt.compute_owner_hash(b"owner", b"", r, key_len)
+            file_key = pdf_crypt.compute_file_key(b"", o_entry, p, id0, r, key_len)
+            u_entry = pdf_crypt.compute_user_hash(file_key, id0, r)
+            cf = (
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                if aes
+                else b""
+            )
+            enc_dict = (
+                b"<< /Filter /Standard /V %d /R %d /Length 128 %s/P %d /O <%s> /U <%s> >>"
+                % (v, r, cf, p, o_entry.hex().encode(), u_entry.hex().encode())
+            )
         for n, body in enumerate(list(objects), start=1):
             i = body.find(b"\nstream\n")
             if i < 0:
@@ -338,18 +365,10 @@ def build_pdf(
             head, payload = body[:i], body[i + 8 :]
             if payload.endswith(b"\nendstream"):
                 payload = payload[: -len(b"\nendstream")]
-            sealed = pdf_crypt.encrypt_bytes(payload, file_key, n, 0, aes)
+            sealed = pdf_crypt.encrypt_bytes(payload, file_key, n, 0, aes, r6)
             head = re.sub(rb"/Length \d+", b"/Length %d" % len(sealed), head, count=1)
             objects[n - 1] = head + b"\nstream\n" + sealed + b"\nendstream"
-        cf = (
-            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
-            if aes
-            else b""
-        )
-        enc_num = add(
-            b"<< /Filter /Standard /V %d /R %d /Length 128 %s/P %d /O <%s> /U <%s> >>"
-            % (v, r, cf, p, o_entry.hex().encode(), u_entry.hex().encode())
-        )
+        enc_num = add(enc_dict)
         id_hex = id0.hex().encode()
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, id_hex, id_hex)
 

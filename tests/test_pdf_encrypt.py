@@ -36,6 +36,28 @@ def test_aes_block_fips197_vector():
     assert pc._aes_decrypt_block(rk, ct) == pt
 
 
+def test_aes256_block_fips197_vector():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = pc._key_expansion(key)
+    ct = pc._aes_encrypt_block(rk, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert pc._aes_decrypt_block(rk, ct) == pt
+
+
+def test_r6_key_roundtrip_and_password_gate():
+    """Algorithm 2.B/8/11: /U verifies the empty password, /UE round-trips
+    the file key, a wrong password is rejected."""
+    fk = bytes(range(32))
+    u, ue = pc.r6_user_entries(fk, b"12345678", b"abcdefgh")
+    assert len(u) == 48 and len(ue) == 32
+    assert pc.r6_verify_user_password(b"", u)
+    assert not pc.r6_verify_user_password(b"wrong", u)
+    assert pc.r6_retrieve_file_key(b"", u, ue) == fk
+
+
 def test_rc4_public_vector():
     assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
 
@@ -47,7 +69,7 @@ def test_aes_cbc_roundtrip_all_lengths():
         assert pc.aes_cbc_decrypt(key, pc.aes_cbc_encrypt(key, data, b"\x07" * 16)) == data
 
 
-@pytest.mark.parametrize("mode", ["rc4", "aes"])
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256"])
 def test_encrypted_pdf_parses_identically(mode):
     plain = _sig(parse_pdf(build_pdf(SPECS)))
     data = build_pdf(SPECS, encrypt=mode)
