@@ -361,6 +361,15 @@ def r6_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
     return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
 
 
+def r6_check_perms(file_key: bytes, perms: bytes) -> bool:
+    """Algorithm 13: decrypt /Perms and check the 'adb' marker — validates
+    a retrieved file key with ONE AES block instead of a second hardened
+    2.B pass (the 2.B cost is PBKDF-like by design; halving the per-open
+    cost matters at corpus scale)."""
+    blk = _aes_decrypt_block(_key_expansion(file_key), perms[:16])
+    return blk[9:12] == b"adb"
+
+
 def r6_perms(file_key: bytes, p: int, encrypt_metadata: bool = True) -> bytes:
     """Algorithm 10: the /Perms entry (AES-ECB of the perms block)."""
     blk = (

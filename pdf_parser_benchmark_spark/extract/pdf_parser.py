@@ -565,9 +565,19 @@ class PdfDocument:
             ue = enc.get("/UE")
             if not isinstance(u, bytes) or not isinstance(ue, bytes) or len(u) < 48:
                 raise ValueError("malformed AES-256 /Encrypt dict")
-            if not pdf_crypt.r6_verify_user_password(b"", u):
-                raise ValueError("encrypted document: user password required")
-            self._file_key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+            perms = enc.get("/Perms")
+            if isinstance(perms, bytes) and len(perms) >= 16:
+                # fast path: retrieve the key with ONE hardened-hash pass and
+                # validate via /Perms (Algorithm 13) — wrong password yields
+                # a garbage key that fails the 'adb' marker check
+                key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+                if not pdf_crypt.r6_check_perms(key, perms):
+                    raise ValueError("encrypted document: user password required")
+            else:
+                if not pdf_crypt.r6_verify_user_password(b"", u):
+                    raise ValueError("encrypted document: user password required")
+                key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+            self._file_key = key
             self._aes = True
             self._r6 = True
             return
