@@ -337,7 +337,7 @@ def q_metadata_filter(spark: SparkSession, sf: str) -> DataFrame:
     "summary_agg",
     """SELECT source,
        count(*) AS n_nodes,
-       sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n_repro,
+       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repro,
        min(substr(text, 1, 20)) AS first_title
 FROM documents GROUP BY source""",
 )
@@ -621,8 +621,9 @@ def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
   FROM events
 )
 SELECT event_id, user_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
 FROM g""",
 )
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:

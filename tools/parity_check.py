@@ -66,7 +66,25 @@ def main() -> int:
                 print(f"  WARNING: zero rows")
             continue
         try:
-            odf = con.sql(ORACLES[name]).df()
+            rel = con.sql(ORACLES[name])
+            # Type-lint (VERDICT r2 item 2): DuckDB HUGEINT / uncast DECIMAL
+            # columns serialize differently than Spark BIGINT/DOUBLE in the
+            # driver's value hasher even when every value is identical —
+            # the local Python-value compare below structurally cannot see
+            # that class of failure, so reject the oracle typing itself.
+            bad_types = [
+                (c, t)
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            if bad_types:
+                print(
+                    f"[TYPE-LINT] {name}: oracle emits non-Spark-representable "
+                    f"column types {bad_types} — add an explicit CAST in the SQL"
+                )
+                failures.append(name)
+                continue
+            odf = rel.df()
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {str(e)[:300]}")
             failures.append(name)
