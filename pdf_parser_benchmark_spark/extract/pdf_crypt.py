@@ -361,6 +361,32 @@ def r6_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
     return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
 
 
+def r5_user_entries(file_key: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """Revision 5 (legacy AES-256, Adobe ExtensionLevel 3) /U + /UE for the
+    empty user password: plain single-pass SHA-256 — NO Algorithm 2.B."""
+    from hashlib import sha256
+
+    u = sha256(vsalt).digest() + vsalt + ksalt  # sha256(pwd+vsalt), pwd=b""
+    intermediate = sha256(ksalt).digest()
+    ue = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
+    return u, ue
+
+
+def r5_verify_user_password(pwd: bytes, u: bytes) -> bool:
+    """R5 analog of Algorithm 11: sha256(pwd + validation salt) == U[0:32]."""
+    from hashlib import sha256
+
+    return sha256(pwd + u[32:40]).digest() == u[:32]
+
+
+def r5_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
+    """R5 retrieval: decrypt /UE with sha256(pwd + key salt)."""
+    from hashlib import sha256
+
+    intermediate = sha256(pwd + u[40:48]).digest()
+    return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
+
+
 def r6_check_perms(file_key: bytes, perms: bytes) -> bool:
     """Algorithm 13: decrypt /Perms and check the 'adb' marker — validates
     a retrieved file key with ONE AES block instead of a second hardened

@@ -212,6 +212,7 @@ class _Stream:
     dict: dict
     raw: bytes
     num: int | None = None  # owning object number (per-object decryption key)
+    gen: int = 0  # generation number (Algorithm 1 key derivation uses it)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -341,15 +342,18 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, object] = {}
-        self._occurrences: dict[int, list[tuple[int, object]]] = {}
+        self._occurrences: dict[int, list[tuple[int, object, int]]] = {}
         self._root_ref: Ref | None = None  # newest trailer's /Root
         self._trailer: dict = {}  # newest-wins merge of the trailer chain
         self._file_key: bytes | None = None
         self._aes = False
-        self._r6 = False  # AES-256 rev 6: file key used directly per object
+        self._r6 = False  # AES-256 rev 5/6: file key used directly per object
+        self._gens: dict[int, int] = {}  # live generation number per object
+        self._enc_num: int | None = None  # /Encrypt dict's own object number
         self._scan_objects()
         self._apply_xref_chain()
         self._setup_encryption()  # BEFORE ObjStm expansion: containers may be encrypted
+        self._decrypt_strings()  # §7.6.2: strings are encrypted too
         self._expand_object_streams()
 
     def _scan_objects(self) -> None:
@@ -358,6 +362,7 @@ class PdfDocument:
         writer's xref is, of course, valid)."""
         for m in _OBJ_RE.finditer(self.data):
             num = int(m.group(1))
+            gen = int(m.group(2))
             start_off = m.start()
             lex = _Lexer(self.data, m.end())
             try:
@@ -380,9 +385,10 @@ class PdfDocument:
                 else:
                     end = self.data.find(b"endstream", p)
                     raw = self.data[p:end].rstrip(b"\r\n")
-                obj = _Stream(obj, raw, num)
+                obj = _Stream(obj, raw, num, gen)
             self.objects[num] = obj
-            self._occurrences.setdefault(num, []).append((start_off, obj))
+            self._gens[num] = gen
+            self._occurrences.setdefault(num, []).append((start_off, obj, gen))
 
     # -- xref chain (classic tables; decides liveness on duplicates) -------
 
@@ -526,9 +532,10 @@ class PdfDocument:
             occs = self._occurrences.get(num)
             if not occs or len(occs) == 1:
                 continue
-            for ooff, obj in occs:
+            for ooff, obj, ogen in occs:
                 if ooff == off:
                     self.objects[num] = obj
+                    self._gens[num] = ogen
                     break
 
     def _setup_encryption(self) -> None:
@@ -551,7 +558,10 @@ class PdfDocument:
                 return
             for k, v in t.items():
                 trailer.setdefault(k, v)
-        enc = self.resolve(trailer.get("/Encrypt"))
+        enc_ref = trailer.get("/Encrypt")
+        if isinstance(enc_ref, Ref):
+            self._enc_num = int(enc_ref)  # its own strings are stored raw
+        enc = self.resolve(enc_ref)
         if not isinstance(enc, dict):
             return
         if enc.get("/Filter") != "/Standard":
@@ -560,23 +570,38 @@ class PdfDocument:
         r = int(self.resolve(enc.get("/R")) or 2)
         key_len = int(self.resolve(enc.get("/Length")) or 40) // 8
         aes = False
-        if v == 5:  # AES-256, revision 5/6 (ISO 32000-2 §7.6.4)
+        if v == 5:  # AES-256, revision 5 (legacy) or 6 (ISO 32000-2 §7.6.4)
+            if r == 5:
+                # plain single-pass SHA-256 derivation — NOT Algorithm 2.B;
+                # running R5 entries through the hardened hash would
+                # misreport a legitimately openable file as password-locked
+                retrieve, verify = (
+                    pdf_crypt.r5_retrieve_file_key,
+                    pdf_crypt.r5_verify_user_password,
+                )
+            elif r == 6:
+                retrieve, verify = (
+                    pdf_crypt.r6_retrieve_file_key,
+                    pdf_crypt.r6_verify_user_password,
+                )
+            else:
+                raise ValueError(f"unsupported AES-256 revision /R {r}")
             u = enc.get("/U")
             ue = enc.get("/UE")
             if not isinstance(u, bytes) or not isinstance(ue, bytes) or len(u) < 48:
                 raise ValueError("malformed AES-256 /Encrypt dict")
             perms = enc.get("/Perms")
             if isinstance(perms, bytes) and len(perms) >= 16:
-                # fast path: retrieve the key with ONE hardened-hash pass and
+                # fast path: retrieve the key with ONE derivation pass and
                 # validate via /Perms (Algorithm 13) — wrong password yields
                 # a garbage key that fails the 'adb' marker check
-                key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+                key = retrieve(b"", u, ue)
                 if not pdf_crypt.r6_check_perms(key, perms):
                     raise ValueError("encrypted document: user password required")
             else:
-                if not pdf_crypt.r6_verify_user_password(b"", u):
+                if not verify(b"", u):
                     raise ValueError("encrypted document: user password required")
-                key = pdf_crypt.r6_retrieve_file_key(b"", u, ue)
+                key = retrieve(b"", u, ue)
             self._file_key = key
             self._aes = True
             self._r6 = True
@@ -638,6 +663,77 @@ class PdfDocument:
             except Exception:
                 continue  # tolerate broken containers; direct objects remain
 
+    def _decrypt_strings(self) -> None:
+        """§7.6.2: strings in an encrypted document are encrypted with the
+        same per-object key as streams (Algorithm 1 includes the generation
+        number). Walk every directly-parsed object and decrypt bytes values
+        in place. Runs BEFORE ObjStm expansion: packed objects are parsed
+        from the already-decrypted container payload, so their strings are
+        plaintext and must NOT be decrypted again. The /Encrypt dictionary
+        itself is exempt (/O /U /UE /Perms are stored raw), as are /Type
+        /XRef stream dicts (never encrypted)."""
+        if self._file_key is None:
+            return
+
+        def dec(o, num: int, gen: int):
+            if isinstance(o, bytes):
+                try:
+                    return pdf_crypt.decrypt_bytes(
+                        o, self._file_key, num, gen, self._aes, self._r6
+                    )
+                except Exception:
+                    return o  # tolerate malformed ciphertext (e.g. short AES)
+            if isinstance(o, dict):
+                for k, v in o.items():
+                    o[k] = dec(v, num, gen)
+                return o
+            if isinstance(o, list):
+                for i, v in enumerate(o):
+                    o[i] = dec(v, num, gen)
+                return o
+            if isinstance(o, _Stream):
+                dec(o.dict, num, gen)
+                return o
+            return o
+
+        for num, obj in self.objects.items():
+            if num == self._enc_num:
+                continue
+            if isinstance(obj, _Stream) and obj.dict.get("/Type") == "/XRef":
+                continue
+            self.objects[num] = dec(obj, num, self._gens.get(num, 0))
+
+    def info(self) -> dict[str, str]:
+        """Document information dictionary (trailer /Info) with string
+        values decoded per §7.9.2.2: UTF-16BE with BOM, else PDFDocEncoding
+        (≈ Latin-1 for the printable range). Encrypted files work because
+        _decrypt_strings ran at parse time — the reference gets this free
+        via fitz (/root/reference/src/ingest.py:50)."""
+        ref = self._trailer.get("/Info")
+        if ref is None:  # tolerant path: scan the last trailer dict
+            tpos = self.data.rfind(b"trailer")
+            if tpos >= 0:
+                try:
+                    t = _Lexer(self.data, tpos + 7).parse_object()
+                    if isinstance(t, dict):
+                        ref = t.get("/Info")
+                except Exception:
+                    pass
+        d = self.resolve(ref)
+        if not isinstance(d, dict):
+            return {}
+        out: dict[str, str] = {}
+        for k, v in d.items():
+            v = self.resolve(v)
+            if isinstance(v, bytes):
+                if v[:2] == b"\xfe\xff":
+                    out[k] = v[2:].decode("utf-16-be", "replace")
+                else:
+                    out[k] = v.decode("latin-1")
+            elif isinstance(v, (str, int, float, bool)):
+                out[k] = str(v)
+        return out
+
     def resolve(self, obj):
         seen = 0
         while isinstance(obj, Ref) and seen < 32:
@@ -656,7 +752,7 @@ class PdfDocument:
             and s.dict.get("/Type") != "/XRef"
         ):
             data = pdf_crypt.decrypt_bytes(
-                data, self._file_key, s.num, 0, self._aes, self._r6
+                data, self._file_key, s.num, s.gen, self._aes, self._r6
             )
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(s.dict.get("/DecodeParms"))

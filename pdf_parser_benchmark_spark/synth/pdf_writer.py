@@ -27,6 +27,15 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _info_text(s: str) -> bytes:
+    """PDF text-string bytes (§7.9.2.2): PDFDocEncoding (≈Latin-1) when it
+    fits, else UTF-16BE with BOM."""
+    try:
+        return s.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"\xfe\xff" + s.encode("utf-16-be")
+
+
 @dataclass
 class TextItem:
     """One positioned string. ``font`` is 'F1' (Helvetica/Standard) or 'F2'
@@ -154,6 +163,8 @@ def build_pdf(
     use_object_streams: bool = False,
     use_xref_stream: bool = False,
     encrypt: str | None = None,
+    info_title: str | None = None,
+    info_gen: int = 0,
 ) -> bytes:
     """Assemble a complete PDF file with a correct xref table.
 
@@ -174,9 +185,11 @@ def build_pdf(
     if use_xref_stream:
         use_object_streams = True
     objects: list[bytes] = []  # 1-indexed bodies, object n = objects[n-1]
+    gens: list[int] = []  # generation number per object (parallel to objects)
 
-    def add(body: bytes) -> int:
+    def add(body: bytes, gen: int = 0) -> int:
         objects.append(body)
+        gens.append(gen)
         return len(objects)
 
     cmap_stream = _tounicode_cmap()
@@ -247,6 +260,20 @@ def build_pdf(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(pages))
     ) == pages_num
     catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+
+    # optional document-information dictionary; info_gen > 0 exercises the
+    # generation-number term of the Algorithm 1 per-object key, and under
+    # encryption its /Title string is sealed (string encryption, s7.6.2)
+    info_num = None
+    if info_title is not None:
+        assert not use_object_streams and not use_xref_stream, (
+            "info fixtures use the classic-xref layout"
+        )
+        info_num = add(
+            b"<< /Title <%s> /Producer (synth-writer) >>"
+            % _info_text(info_title).hex().encode(),
+            gen=info_gen,
+        )
 
     if use_object_streams:
         # PDF 1.5 object streams: pack every non-stream object into one
@@ -327,20 +354,32 @@ def build_pdf(
 
         p = -3904
         id0 = _md5(b"".join(objects)).digest()
-        if encrypt == "aes256":  # V5/R6 (ISO 32000-2 §7.6.4)
+        if encrypt in ("aes256", "aes256r5"):  # V5: R6 (ISO 32000-2 §7.6.4) or legacy R5
             aes, r6 = True, True
+            rev = 5 if encrypt == "aes256r5" else 6
             file_key = (_md5(id0).digest() + _md5(id0 + b"k").digest())  # 32B, deterministic
             vsalt, ksalt = _md5(id0 + b"v").digest()[:8], _md5(id0 + b"s").digest()[:8]
             ovs, oks = _md5(id0 + b"ov").digest()[:8], _md5(id0 + b"os").digest()[:8]
-            u_entry, ue = pdf_crypt.r6_user_entries(file_key, vsalt, ksalt)
-            o_entry, oe = pdf_crypt.r6_owner_entries(b"owner", file_key, u_entry, ovs, oks)
-            perms = pdf_crypt.r6_perms(file_key, p)
+            if rev == 5:
+                # legacy revision 5: single-pass SHA-256, no Algorithm 2.B
+                from hashlib import sha256
+
+                u_entry, ue = pdf_crypt.r5_user_entries(file_key, vsalt, ksalt)
+                o_entry = sha256(b"owner" + ovs + u_entry[:48]).digest() + ovs + oks
+                oe = pdf_crypt._cbc_encrypt_nopad(
+                    sha256(b"owner" + oks + u_entry[:48]).digest(),
+                    file_key, b"\x00" * 16,
+                )
+            else:
+                u_entry, ue = pdf_crypt.r6_user_entries(file_key, vsalt, ksalt)
+                o_entry, oe = pdf_crypt.r6_owner_entries(b"owner", file_key, u_entry, ovs, oks)
+            perms = pdf_crypt.r6_perms(file_key, p)  # Algorithm 13 is revision-shared
             enc_dict = (
-                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"<< /Filter /Standard /V 5 /R %d /Length 256 "
                 b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
                 b"/StmF /StdCF /StrF /StdCF /P %d "
                 b"/U <%s> /UE <%s> /O <%s> /OE <%s> /Perms <%s> >>"
-                % (p, u_entry.hex().encode(), ue.hex().encode(),
+                % (rev, p, u_entry.hex().encode(), ue.hex().encode(),
                    o_entry.hex().encode(), oe.hex().encode(), perms.hex().encode())
             )
         else:
@@ -368,21 +407,33 @@ def build_pdf(
             sealed = pdf_crypt.encrypt_bytes(payload, file_key, n, 0, aes, r6)
             head = re.sub(rb"/Length \d+", b"/Length %d" % len(sealed), head, count=1)
             objects[n - 1] = head + b"\nstream\n" + sealed + b"\nendstream"
+        if info_num is not None:
+            sealed_t = pdf_crypt.encrypt_bytes(
+                _info_text(info_title), file_key, info_num, info_gen, aes, r6
+            )
+            sealed_p = pdf_crypt.encrypt_bytes(
+                b"synth-writer", file_key, info_num, info_gen, aes, r6
+            )
+            objects[info_num - 1] = b"<< /Title <%s> /Producer <%s> >>" % (
+                sealed_t.hex().encode(), sealed_p.hex().encode(),
+            )
         enc_num = add(enc_dict)
         id_hex = id0.hex().encode()
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, id_hex, id_hex)
+    if info_num is not None:
+        trailer_extra += b" /Info %d %d R" % (info_num, info_gen)
 
     # serialize with xref
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
         offsets.append(len(buf))
-        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        buf += b"%d %d obj\n" % (i, gens[i - 1]) + body + b"\nendobj\n"
     xref_off = len(buf)
     buf += b"xref\n0 %d\n" % (len(objects) + 1)
     buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += b"%010d 00000 n \n" % off
+    for i, off in enumerate(offsets[1:], start=1):
+        buf += b"%010d %05d n \n" % (off, gens[i - 1])
     buf += (
         b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, catalog_num, trailer_extra, xref_off)

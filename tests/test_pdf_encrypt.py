@@ -79,6 +79,71 @@ def test_encrypted_pdf_parses_identically(mode):
     assert data == build_pdf(SPECS, encrypt=mode)
 
 
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256", "aes256r5"])
+def test_encrypted_info_strings_and_generation_keys(mode):
+    """§7.6.2 string encryption + Algorithm 1 generation-number term: the
+    /Info dictionary of an encrypted file (stored at generation 7) decodes
+    to plaintext, and page text still extracts byte-identically."""
+    from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+
+    title = "Encrypted Title (v2) — ünïcode\\backslash"
+    plain = _sig(parse_pdf(build_pdf(SPECS, info_title=title, info_gen=7)))
+    data = build_pdf(SPECS, encrypt=mode, info_title=title, info_gen=7)
+    assert _sig(parse_pdf(data)) == plain
+    doc = PdfDocument(data)
+    assert doc.info()["/Title"] == title
+    assert doc.info()["/Producer"] == "synth-writer"
+    # the title's plaintext text-string bytes (UTF-16BE w/ BOM, hex form)
+    # must NOT appear in the encrypted file
+    plain_hex = (b"\xfe\xff" + title.encode("utf-16-be")).hex().encode()
+    assert plain_hex in build_pdf(SPECS, info_title=title, info_gen=7)
+    assert plain_hex not in data
+    # deterministic bytes (golden-fixture requirement)
+    assert data == build_pdf(SPECS, encrypt=mode, info_title=title, info_gen=7)
+
+
+def test_unencrypted_info_dict_roundtrip():
+    from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+
+    data = build_pdf(SPECS, info_title="Plain Title", info_gen=3)
+    assert PdfDocument(data).info()["/Title"] == "Plain Title"
+
+
+def test_r5_legacy_revision_opens():
+    """ADVICE r2: a legacy AES-256 revision-5 file (plain SHA-256, no
+    Algorithm 2.B) must open with the empty user password rather than be
+    misreported as password-protected."""
+    plain = _sig(parse_pdf(build_pdf(SPECS)))
+    data = build_pdf(SPECS, encrypt="aes256r5")
+    assert b"/R 5" in data
+    assert _sig(parse_pdf(data)) == plain
+
+
+def test_r5_key_roundtrip_and_password_gate():
+    fk = bytes(range(32))
+    u, ue = pc.r5_user_entries(fk, b"12345678", b"abcdefgh")
+    assert len(u) == 48 and len(ue) == 32
+    assert pc.r5_verify_user_password(b"", u)
+    assert not pc.r5_verify_user_password(b"wrong", u)
+    assert pc.r5_retrieve_file_key(b"", u, ue) == fk
+
+
+def test_unsupported_v5_revision_raises_distinctly():
+    data = build_pdf(SPECS, encrypt="aes256")
+    bad = data.replace(b"/V 5 /R 6", b"/V 5 /R 4")
+    # strip /Perms so the fast path can't mask the revision check
+    with pytest.raises(ValueError, match="unsupported AES-256 revision"):
+        parse_pdf(bad)
+
+
+def test_password_protected_r5_raises():
+    data = build_pdf(SPECS, encrypt="aes256r5")
+    m = re.search(rb"/U <([0-9a-f]+)>", data)
+    bad = data.replace(m.group(1), m.group(1)[::-1])
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf(bad)
+
+
 def test_password_protected_raises():
     data = build_pdf(SPECS, encrypt="rc4")
     m = re.search(rb"/U <([0-9a-f]+)>", data)
