@@ -74,6 +74,19 @@ class HtmlBlock:
 _CELL_MARK = "\x00"  # in-buffer cell boundary, split out at flush
 
 
+def _span(attrs, key: str, cap: int) -> int:
+    """td/th colspan/rowspan attribute as a clamped int (HTML spec caps:
+    colspan 1000, rowspan 65534 — we clamp rowspan harder as carry-down
+    state is per-table memory). Invalid/missing -> 1."""
+    for k, v in attrs:
+        if k == key and v:
+            try:
+                return max(1, min(int(v.strip()), cap))
+            except ValueError:
+                return 1
+    return 1
+
+
 class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -85,16 +98,59 @@ class _BlockParser(HTMLParser):
         self._link_buf_chars = 0
         self._n_containers = 0
         self._cstack: list[int] = []
+        # (colspan, rowspan) per td/th mark of the open row
+        self._cell_meta: list[tuple[int, int]] = []
+        # one dict per open <table>: column index -> [text, rows_remaining]
+        # (carry-down state for rowspan grid expansion)
+        self._table_stack: list[dict[int, list]] = []
+        # rows suspended at a nested <table> (resumed at its </table>)
+        self._row_suspend: list[tuple] = []
 
     def _flush(self) -> None:
         if self._cur is None:
             return
         text = "".join(self._buf)
         if self._cur.tag == "table_row":
-            # reconstruct cell structure from td/th boundaries
-            cells = tuple(
-                " ".join(c.split()) for c in text.split(_CELL_MARK) if c.strip()
-            )
+            # reconstruct cell structure from td/th boundaries, expanding
+            # colspan across columns and carrying rowspan text down into
+            # subsequent rows (pandas.read_html-style grid expansion; the
+            # reference's layout service returns a real cell grid,
+            # /root/reference/src/ingest.py:163-179)
+            segs = text.split(_CELL_MARK)[1:]
+            meta = self._cell_meta
+            pending = self._table_stack[-1] if self._table_stack else None
+            grid: list[str] = []
+            consumed: set[int] = set()
+            col = 0
+
+            def place_pending() -> None:
+                nonlocal col
+                while pending is not None and col in pending:
+                    grid.append(pending[col][0])
+                    consumed.add(col)
+                    pending[col][1] -= 1
+                    if pending[col][1] <= 0:
+                        del pending[col]
+                    col += 1
+
+            for i, seg in enumerate(segs):
+                cs, rs = meta[i] if i < len(meta) else (1, 1)
+                place_pending()
+                cell = " ".join(seg.split())
+                for _ in range(cs):
+                    if rs > 1 and pending is not None:
+                        pending[col] = [cell, rs - 1]
+                        consumed.add(col)
+                    grid.append(cell)
+                    col += 1
+            place_pending()
+            if pending is not None:  # short row: unconsumed carries age too
+                for c in list(pending):
+                    if c not in consumed:
+                        pending[c][1] -= 1
+                        if pending[c][1] <= 0:
+                            del pending[c]
+            cells = tuple(c for c in grid if c)
             self._cur.cells = cells
             self._cur.text = _CELL_SEP.join(cells)
         else:
@@ -106,16 +162,32 @@ class _BlockParser(HTMLParser):
         self._cur = None
         self._buf = []
         self._link_buf_chars = 0
+        self._cell_meta = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _CHROME:
             self._chrome_depth += 1
         if tag == "a":
             self._link_depth += 1
+        if tag == "table":
+            if self._cur is not None and self._cur.tag == "table_row":
+                # nested table inside a cell: suspend the outer row, emit
+                # the inner rows as their own blocks, resume at </table>
+                self._row_suspend.append((
+                    self._cur, self._buf, self._link_buf_chars,
+                    self._cell_meta, len(self._table_stack),
+                ))
+                self._cur, self._buf = None, []
+                self._link_buf_chars, self._cell_meta = 0, []
+            self._table_stack.append({})
         if tag in ("td", "th") and self._cur is not None:
-            self._buf.append(
-                _CELL_MARK if self._cur.tag == "table_row" else " "
-            )
+            if self._cur.tag == "table_row":
+                self._buf.append(_CELL_MARK)
+                self._cell_meta.append(
+                    (_span(attrs, "colspan", 1000), _span(attrs, "rowspan", 512))
+                )
+            else:
+                self._buf.append(" ")
         elif tag == "br" and self._cur is not None:
             self._buf.append(" ")
         if tag in _CONTAINERS:
@@ -139,6 +211,16 @@ class _BlockParser(HTMLParser):
             self._link_depth -= 1
         if tag in _CONTAINERS and self._cstack:
             self._cstack.pop()  # tolerant: unbalanced HTML pops the nearest
+        if tag == "table":
+            self._flush()  # close an unterminated inner row
+            if self._table_stack:
+                self._table_stack.pop()
+            if (
+                self._row_suspend
+                and self._row_suspend[-1][4] == len(self._table_stack)
+            ):
+                (self._cur, self._buf, self._link_buf_chars,
+                 self._cell_meta, _) = self._row_suspend.pop()
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -192,11 +274,16 @@ _TAGFIND = _hp.tagfind_tolerant
 _ATTRFIND = _hp.attrfind_tolerant
 
 
-def _parse_start(html: str, i: int) -> tuple[str, str | None, bool, int]:
+def _parse_start(
+    html: str, i: int
+) -> tuple[str, str | None, bool, int, tuple]:
     """Replicates HTMLParser.check_for_whole_start_tag + parse_starttag for
     a '<letter…' at i, with the whole document in hand (EOF == buffer end).
-    → (kind, name, selfclosing, next_pos); kind ∈ {tag, data, incomplete}.
-    For kind='data'/'incomplete' the span [i:next_pos) is character data."""
+    → (kind, name, selfclosing, next_pos, attrs); kind ∈ {tag, data,
+    incomplete}. For kind='data'/'incomplete' the span [i:next_pos) is
+    character data. attrs are collected ONLY for td/th (the one tag class
+    whose attributes the block sink reads — colspan/rowspan geometry);
+    every other tag returns () to keep the hot path allocation-free."""
     m = _LOCATE_START.match(html, i)
     j = m.end()
     nxt = html[j : j + 1]
@@ -213,7 +300,7 @@ def _parse_start(html: str, i: int) -> tuple[str, str | None, bool, int]:
         endpos = -1  # end of input in/before attribute value
     else:
         endpos = j if j > i else i + 1
-        return "data", None, False, endpos  # bogus input → data span
+        return "data", None, False, endpos, ()  # bogus input → data span
     if endpos < 0:
         # incomplete at EOF: goahead(end=1) emits data through the next '>'
         # (inclusive), else up to the next '<', else one char — then resumes
@@ -224,19 +311,33 @@ def _parse_start(html: str, i: int) -> tuple[str, str | None, bool, int]:
                 k = i + 1
         else:
             k += 1
-        return "incomplete", None, False, k
+        return "incomplete", None, False, k, ()
     tm = _TAGFIND.match(html, i + 1)
     name = tm.group(1).lower()
     k = tm.end()
+    collect = name == "td" or name == "th"
+    attrs: list | tuple = [] if collect else ()
     while k < endpos:  # consume attributes exactly like parse_starttag
         am = _ATTRFIND.match(html, k)
         if not am:
             break
+        if collect:
+            aname, rest, avalue = am.group(1, 2, 3)
+            if not rest:
+                avalue = None
+            elif (
+                avalue[:1] == "'" == avalue[-1:]
+                or avalue[:1] == '"' == avalue[-1:]
+            ):
+                avalue = avalue[1:-1]
+            if avalue and "&" in avalue:
+                avalue = _unescape(avalue)
+            attrs.append((aname.lower(), avalue))
         k = am.end()
     end = html[k:endpos].strip()
     if end not in (">", "/>"):
-        return "data", None, False, endpos  # junk inside tag → data span
-    return "tag", name, end.endswith("/>"), endpos
+        return "data", None, False, endpos, ()  # junk inside tag → data span
+    return "tag", name, end.endswith("/>"), endpos, attrs
 
 _RAWTEXT = {"script", "style"}
 
@@ -253,7 +354,7 @@ def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
             and pos + 1 < n
             and ("a" <= html[pos + 1] <= "z" or "A" <= html[pos + 1] <= "Z")
         ):
-            kind, name, selfclosing, nxt = _parse_start(html, pos)
+            kind, name, selfclosing, nxt, attrs = _parse_start(html, pos)
             if kind != "tag":
                 tok = html[pos:nxt]
                 if unescape_needed and "&" in tok:
@@ -262,7 +363,7 @@ def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
                 pos = nxt
                 continue
             pos = nxt
-            start(name, ())
+            start(name, attrs)
             if selfclosing:
                 end(name)
             elif name in _RAWTEXT:

@@ -85,6 +85,68 @@ def test_table_cell_reconstruction():
     assert blocks[2].cells == ("alpha beta", "42")
 
 
+def test_colspan_rowspan_grid_expansion():
+    """Cell geometry (VERDICT r2 item 5): colspan duplicates the cell text
+    across its columns; rowspan carries it down into subsequent rows at the
+    same column position (pandas.read_html-style grid expansion)."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_fast,
+        parse_html_blocks_stdlib,
+    )
+
+    html = ("<table>"
+            '<tr><th colspan="2">Wide</th><th>S</th></tr>'
+            '<tr><td rowspan="2">L</td><td>a1</td><td>a2</td></tr>'
+            "<tr><td>b1</td><td>b2</td></tr>"
+            "<tr><td>c0</td><td>c1</td><td>c2</td></tr></table>")
+    for parse in (parse_html_blocks_stdlib, parse_html_blocks_fast):
+        rows = [b.cells for b in parse(html) if b.tag == "table_row"]
+        assert rows == [
+            ("Wide", "Wide", "S"),
+            ("L", "a1", "a2"),
+            ("L", "b1", "b2"),  # rowspan carried down
+            ("c0", "c1", "c2"),  # carry expired after 2 rows
+        ]
+
+
+def test_rowspan_zero_and_junk_spans_tolerated():
+    from pdf_parser_benchmark_spark.extract.html_extractor import parse_html_blocks
+
+    html = ('<table><tr><td rowspan="0">x</td><td colspan="nope">y</td></tr>'
+            "<tr><td>z</td></tr></table>")
+    rows = [b.cells for b in parse_html_blocks(html) if b.tag == "table_row"]
+    assert rows == [("x", "y"), ("z",)]
+
+
+def test_nested_table_emits_inner_rows_and_resumes_outer():
+    """A table nested in a cell emits its rows as their own blocks (document
+    order: inner first), and the OUTER row keeps its remaining cells — the
+    round-2 flattening bug lost everything after the nested table."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_fast,
+        parse_html_blocks_stdlib,
+    )
+
+    html = ("<table><tr><td>o1</td>"
+            "<td><table><tr><td>i1</td><td>i2</td></tr>"
+            "<tr><td>i3</td><td>i4</td></tr></table> after</td>"
+            "<td>o3</td></tr></table>")
+    for parse in (parse_html_blocks_stdlib, parse_html_blocks_fast):
+        rows = [b.cells for b in parse(html) if b.tag == "table_row"]
+        assert rows == [("i1", "i2"), ("i3", "i4"), ("o1", "after", "o3")]
+
+
+def test_nested_table_rowspan_state_is_per_table():
+    from pdf_parser_benchmark_spark.extract.html_extractor import parse_html_blocks
+
+    html = ('<table><tr><td rowspan="2">O</td><td>'
+            '<table><tr><td rowspan="2">I</td><td>x</td></tr>'
+            "<tr><td>y</td></tr></table>"
+            "</td></tr><tr><td>z</td></tr></table>")
+    rows = [b.cells for b in parse_html_blocks(html) if b.tag == "table_row"]
+    assert rows == [("I", "x"), ("I", "y"), ("O",), ("O", "z")]
+
+
 def test_subtree_scoring_drops_related_box_header():
     """The non-linky header inside a link-dominated container is dropped by
     DOM-subtree density scoring (the per-block rule alone can't see it)."""

@@ -13,7 +13,8 @@ from pdf_parser_benchmark_spark.synth.pages import gen_row, is_pdf_row
 
 def _sig(blocks):
     return [
-        (b.tag, b.level, b.text, b.link_chars, b.total_chars, b.in_chrome)
+        (b.tag, b.level, b.text, b.cells, b.link_chars, b.total_chars,
+         b.in_chrome)
         for b in blocks
     ]
 
@@ -46,7 +47,7 @@ _entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&#169;", "&copy;", "&nbsp;"
 def html_doc(draw):
     parts = []
     for _ in range(draw(st.integers(1, 25))):
-        kind = draw(st.integers(0, 5))
+        kind = draw(st.integers(0, 6))
         if kind == 0:
             parts.append(f"<{draw(_tags)}>")
         elif kind == 1:
@@ -57,6 +58,12 @@ def html_doc(draw):
             parts.append(draw(_entity))
         elif kind == 4:
             parts.append(f"<{draw(_tags)} class='x' id=\"y\">")
+        elif kind == 5:
+            span = draw(st.sampled_from(
+                ['colspan="2"', "rowspan='3'", "colspan=2", 'colspan="x"',
+                 "rowspan", 'colspan="0" rowspan="2"']
+            ))
+            parts.append(f"<{draw(st.sampled_from(['td', 'th']))} {span}>")
         else:
             parts.append(f"<{draw(_tags)}/>")
     return "".join(parts)

@@ -21,6 +21,8 @@ GOLDEN_ROW_IDS = [
     0, 1, 2, 3, 5, 7, 8, 11, 13, 17, 23, 42, 99, 123, 256, 1000,
     # extra PDFs: rotated pages (25, 30, 44, 124) and two-column (56, 202, 223)
     12, 25, 30, 44, 56, 124, 202, 223,
+    # corpus v9 table geometry: nested table (21), colspan/rowspan (22)
+    21, 22,
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tests", "golden")
