@@ -50,9 +50,10 @@ def _sf_of(path: str) -> str:
 
 def ensure_pages_corpus(spark, sf: str, n_rows: int) -> str:
     """Materialize the deterministic pages corpus once per sf (parquet)."""
-    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
-
-    from pdf_parser_benchmark_spark.synth.pages import CORPUS_VERSION
+    from pdf_parser_benchmark_spark.synth.pages import (
+        CORPUS_VERSION,  # noqa: F401 — re-imported at module scope below
+        generate_pages_df,
+    )
 
     path = f"/tmp/spark_graft_pages_v{CORPUS_VERSION}_sf{sf}_{n_rows}"
     marker = os.path.join(path, "_SUCCESS")
@@ -65,6 +66,7 @@ def main() -> None:
     from pdf_parser_benchmark_spark.session import get_spark
     from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
     from pdf_parser_benchmark_spark.queries import QUERIES
+    from pdf_parser_benchmark_spark.synth.pages import CORPUS_VERSION
 
     sf = _sf_of(SF_DIR)
     spark = get_spark(
@@ -88,12 +90,42 @@ def main() -> None:
     t_extract = time.monotonic() - t0
     timings["extract"] = round(t_extract, 3)
 
+    # per-doc-class extract lanes (VERDICT r2 item 3): the corpus hardens
+    # round over round (encryption mix, table geometry), so the headline
+    # extract number alone can't separate plan regressions from corpus
+    # changes — these make the round-over-round delta attributable per class
+    from pdf_parser_benchmark_spark.synth.pages import doc_class
+
+    class_rows = spark.createDataFrame(
+        [(i, doc_class(i)) for i in range(n_rows)], "row_id long, doc_class string"
+    )
+    tagged = pages.withColumn(
+        "row_id", F.regexp_extract("url", r"/p/(\d+)\.", 1).cast("long")
+    ).join(F.broadcast(class_rows), "row_id")
+    extract_by_class: dict[str, dict] = {}
+    for cls in sorted(r[0] for r in class_rows.select("doc_class").distinct().collect()):
+        subset = tagged.filter(F.col("doc_class") == cls).drop("row_id", "doc_class")
+        n_cls = subset.count()
+        if n_cls == 0:
+            continue
+        t0 = time.monotonic()
+        extract_pages(subset, n_splits=64, n_tasks=CPUS).count()
+        dt = time.monotonic() - t0
+        extract_by_class[cls] = {
+            "docs": n_cls, "sec": round(dt, 3),
+            "docs_per_sec": round(n_cls / dt, 1),
+        }
+
+    from pdf_parser_benchmark_spark.operators.dedup import release_intermediates
+
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warm
+        release_intermediates()  # time a cold-cache plan, not the warm cache
         t0 = time.monotonic()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        release_intermediates()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,6 +139,8 @@ def main() -> None:
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": round(n_docs / t_extract, 1),
                 "extract_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
+                "extract_by_class": extract_by_class,
+                "corpus_version": CORPUS_VERSION,
                 "cpus": CPUS,
             }
         )

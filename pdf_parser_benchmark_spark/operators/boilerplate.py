@@ -36,9 +36,30 @@ def explode_lines(
 
 # full-whitespace-class strip matching Python str.strip() (the in-UDF twin
 # in extract/assemble.py and the reference both strip tabs etc., while
-# Spark's F.trim strips spaces only); (?U) makes Java \s unicode-aware like
-# Python's
-_STRIP_RE = r"(?U)^\s+|\s+$"
+# Spark's F.trim strips spaces only). The class is an EXPLICIT codepoint
+# list — Python's str.isspace() set, which Java 17's (?U)\s also matches —
+# rendered in both Java-regex and RE2 syntax so the Spark plan and the
+# DuckDB oracle twin strip the exact same characters (ADVICE r2: RE2's \s
+# is ASCII-only, so NBSP-edged lines would strip differently on the two
+# sides under the old (?U)\s / \s pairing).
+_WS_RANGES = [
+    (0x09, 0x0D), (0x1C, 0x1F), (0x20, 0x20), (0x85, 0x85), (0xA0, 0xA0),
+    (0x1680, 0x1680), (0x2000, 0x200A), (0x2028, 0x2029), (0x202F, 0x202F),
+    (0x205F, 0x205F), (0x3000, 0x3000),
+]
+
+
+def _ws_class(esc) -> str:
+    return "".join(
+        esc(lo) if lo == hi else f"{esc(lo)}-{esc(hi)}" for lo, hi in _WS_RANGES
+    )
+
+
+WS_CLASS_JAVA = _ws_class(lambda c: f"\\u{c:04X}")
+WS_CLASS_RE2 = _ws_class(lambda c: f"\\x{{{c:04X}}}")  # DuckDB oracle twin
+
+_STRIP_RE = f"^[{WS_CLASS_JAVA}]+|[{WS_CLASS_JAVA}]+$"
+STRIP_RE_RE2 = f"^[{WS_CLASS_RE2}]+|[{WS_CLASS_RE2}]+$"
 
 
 def stripped(col) -> F.Column:

@@ -35,6 +35,38 @@ from ..functions.similarity import jaccard_arrays, cosine_rounded
 
 
 # ---------------------------------------------------------------------------
+# scoped persist: the multi-branch plans below persist tiny intermediate
+# frames (candidate pairs, banded buckets, fingerprints) that both sides of
+# a self-join read. The returned plan is lazy, so the cache can only be
+# released AFTER the caller materializes it — register every persist here
+# and have long-lived sessions (bench loop, parity harness) call
+# release_intermediates() between queries, instead of leaking blocks until
+# LRU eviction pressure sets in.
+# ---------------------------------------------------------------------------
+
+_LIVE_INTERMEDIATES: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_INTERMEDIATES.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every intermediate cached by the dedup/ANN plans since the
+    last call. Returns the number of frames released."""
+    n = len(_LIVE_INTERMEDIATES)
+    for df in _LIVE_INTERMEDIATES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LIVE_INTERMEDIATES.clear()
+    return n
+
+
+# ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
 
@@ -205,7 +237,7 @@ def lsh_candidate_pairs(
     ).select("id", "bb.band", "bb.bucket")
     # both sides of the self-join read this frame — persist so the upstream
     # signature computation runs once (rows are (id, band, md5), tiny)
-    banded = banded.persist()
+    banded = _scoped_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -242,7 +274,9 @@ def minhash_dedup_pairs(
     # candidate pairs are re-read three times below (join left side + both
     # id projections) — persist so LSH runs once, not per branch; the frame
     # is (id, id) pairs, orders of magnitude smaller than the corpus
-    cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=k // bands).persist()
+    cands = _scoped_persist(
+        lsh_candidate_pairs(sig, bands=bands, rows_per_band=k // bands)
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
@@ -252,9 +286,9 @@ def minhash_dedup_pairs(
     # computed only for candidate docs; persist because the shingle sets
     # feed both sides of the verify join. AQE broadcasts cand_ids when small.
     raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    needed = shingled(
-        raw.join(cand_ids, "id", "left_semi"), "id", "t", shingle_k
-    ).persist()
+    needed = _scoped_persist(
+        shingled(raw.join(cand_ids, "id", "left_semi"), "id", "t", shingle_k)
+    )
     return (
         cands.join(
             needed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -347,7 +381,7 @@ def simhash_neardup_pairs(
     slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
     # persist: the self-join reads fp twice; 16 bytes/row, never recompute
     # the 60-position bit aggregation per side
-    fp = slim.select("id", simhash64(F.col("t")).alias("fp")).persist()
+    fp = _scoped_persist(slim.select("id", simhash64(F.col("t")).alias("fp")))
     blocked = fp.select(
         "id",
         "fp",
@@ -466,7 +500,8 @@ def embedding_neardup_rh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         rh_signature(F.col(vec_col), planes).alias("sig"),
-    ).persist()  # both self-join sides read it
+    )
+    sig = _scoped_persist(sig)  # both self-join sides read it
     banded = sig.select(
         "id",
         "v",

@@ -28,6 +28,7 @@ import uuid
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..extract.assemble import extract_document
 from ..canonical import encode_doc
@@ -263,11 +264,17 @@ def run_pipeline(
         if n_tasks is not None:  # else zero-shuffle: input-split granularity
             part = part.repartition(n_tasks, F.xxhash64("url"))
         extracted = part.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
-        write_extracted(extracted, output_dir)  # dynamic overwrite by split
-        batch_written = read_extracted(spark, output_dir).filter(
-            F.col("split_id").isin(split_batch)
-        )
-        ckpt.mark_splits_complete(batch_written, manifest_dir, run_id, n_splits)
+        # persist so the write and the manifest aggregates share ONE
+        # extraction pass — re-reading the output directory per batch costs
+        # a driver-side file listing that grows with files-per-batch (real
+        # at 10^5 output files), and re-aggregating the un-persisted plan
+        # would run the extraction twice
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_extracted(extracted, output_dir)  # dynamic overwrite by split
+            ckpt.mark_splits_complete(extracted, manifest_dir, run_id, n_splits)
+        finally:
+            extracted.unpersist()
         done_splits.extend(split_batch)
 
     written = read_extracted(spark, output_dir).filter(

@@ -59,7 +59,8 @@ def query(name: str, oracle: str | None = None):
 _PAGES_SQL = """
 pages AS (
   SELECT source AS doc, doc_id AS page,
-         'HDR ' || source || chr(10) || text || chr(10) || 'FTR ' || source AS ptext
+         chr(160) || 'HDR ' || source || chr(160) || chr(10) || text ||
+         chr(10) || 'FTR ' || source AS ptext
   FROM documents
 ),
 lines AS (
@@ -70,14 +71,14 @@ lines AS (
 ),
 np AS (SELECT doc, count(*) AS n_pages FROM pages GROUP BY doc),
 lcounts AS (
-  SELECT doc, regexp_replace(line, '^\s+|\s+$', '', 'g') AS sline, count(*) AS cnt
-  FROM lines WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> '' GROUP BY 1, 2
+  SELECT doc, regexp_replace(line, '@STRIP@', '', 'g') AS sline, count(*) AS cnt
+  FROM lines WHERE regexp_replace(line, '@STRIP@', '', 'g') <> '' GROUP BY 1, 2
 ),
 boiler AS (
   SELECT lcounts.doc, sline, cnt FROM lcounts JOIN np USING (doc)
   WHERE cnt > n_pages * 0.4 AND len(sline) < 100
 )
-"""
+""".replace("@STRIP@", BP.STRIP_RE_RE2)
 
 
 def _pages_df(spark: SparkSession, sf: str) -> DataFrame:
@@ -86,7 +87,9 @@ def _pages_df(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("page"),
         F.concat_ws(
             "\n",
-            F.concat(F.lit("HDR "), F.col("source")),
+            # NBSP-edged header (ADVICE r2): makes the parity gate cover the
+            # Unicode-whitespace strip class on both engines
+            F.concat(F.lit("\u00a0HDR "), F.col("source"), F.lit("\u00a0")),
             F.col("text"),
             F.concat(F.lit("FTR "), F.col("source")),
         ).alias("ptext"),
@@ -118,7 +121,7 @@ sh AS (
     f"""WITH {_PAGES_SQL},
 kept AS (
   SELECT l.doc, l.page, l.pos, l.line FROM lines l
-  LEFT JOIN boiler b ON l.doc = b.doc AND regexp_replace(l.line, '^\s+|\s+$', '', 'g') = b.sline
+  LEFT JOIN boiler b ON l.doc = b.doc AND regexp_replace(l.line, '{BP.STRIP_RE_RE2}', '', 'g') = b.sline
   WHERE b.sline IS NULL
 ),
 agg AS (
