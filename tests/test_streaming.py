@@ -13,6 +13,28 @@ from pdf_parser_benchmark_spark.streaming.ingest_stream import (
 from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(spark, request):
+    """Run stateful streaming tests under BOTH state-store backends: the
+    HDFS-backed default and RocksDB (the provider a real cluster would use
+    for large state — rocksdbjni ships with Spark). The provider class is
+    read from the session conf at query start, so setting it here pins the
+    backend for queries started inside the test."""
+    if request.param == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    try:
+        yield request.param
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 @pytest.fixture(scope="module")
 def pages_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("pages_in"))
@@ -103,7 +125,7 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
         assert batch[k] == v
 
 
-def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path):
+def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path, state_provider):
     from pdf_parser_benchmark_spark.queries import QUERIES
 
     ev_dir = str(tmp_path / "ev2")
@@ -115,7 +137,7 @@ def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path):
         sessionize_stateful(stream)
         .writeStream.trigger(availableNow=True)
         .format("memory")
-        .queryName("sess")
+        .queryName(f"sess_{state_provider}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .start()
@@ -123,7 +145,7 @@ def test_stateful_sessionize_matches_batch_query(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     streamed = {
         r["event_id"]: r["session_id"]
-        for r in spark.sql("select * from sess").collect()
+        for r in spark.sql(f"select * from sess_{state_provider}").collect()
     }
     batch = {
         r["event_id"]: r["session_id"]
@@ -160,7 +182,7 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     assert all(r["segment"] == r["user_id"] % 3 for r in one)
 
 
-def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path, state_provider):
     """True stream-stream join (watermarks both sides, bounded interval):
     availableNow over the full events table must equal the batch join."""
     from pdf_parser_benchmark_spark.streaming.ingest_stream import (
@@ -178,7 +200,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         impression_click_join(imp_s, clk_s)
         .writeStream.trigger(availableNow=True)
         .format("memory")
-        .queryName("ssjoin")
+        .queryName(f"ssjoin_{state_provider}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck_ss"))
         .start()
@@ -186,7 +208,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     streamed = {
         (r["imp_id"], r["clk_id"])
-        for r in spark.sql("select * from ssjoin").collect()
+        for r in spark.sql(f"select * from ssjoin_{state_provider}").collect()
     }
     batch = {
         (r["imp_id"], r["clk_id"])
@@ -198,7 +220,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
-def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path, state_provider):
     """At-least-once input (every event written twice) streams through
     dropDuplicatesWithinWatermark → exactly-once output."""
     from pdf_parser_benchmark_spark.streaming.ingest_stream import dedup_stream
@@ -211,12 +233,12 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         dedup_stream(stream)
         .writeStream.trigger(availableNow=True)
         .format("memory")
-        .queryName("dedup_s")
+        .queryName(f"dedup_{state_provider}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck_dd"))
         .start()
     )
     q.awaitTermination(180)
-    got = spark.sql("select event_id from dedup_s").collect()
+    got = spark.sql(f"select event_id from dedup_{state_provider}").collect()
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == ev.count()
