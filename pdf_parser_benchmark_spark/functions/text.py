@@ -305,18 +305,23 @@ def lang_id3(col: Column) -> Column:
     return result
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), the unit for MinHash/Jaccard
-    dedup. Built-ins only: split → transform over index range → slice+join."""
+def word_ngrams(col: Column, k: int) -> Column:
+    """Word k-gram array WITH duplicates (the unit for repetition signals).
+    Built-ins only: split → transform over index range → slice+join; texts
+    shorter than k words degrade to a single whole-text gram."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
     )
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " ")))
-    )
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the unit for MinHash/Jaccard
+    dedup."""
+    return F.array_distinct(word_ngrams(col, k))
 
 
 def doc_fingerprint(col: Column, k: int = 5) -> Column:

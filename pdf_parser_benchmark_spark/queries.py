@@ -1270,6 +1270,123 @@ def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "repetition_signals",
+    r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+                                              i -> array_to_string(w[i:i+1], ' '))
+         ELSE [array_to_string(w, ' ')] END AS g2,
+    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+                                              i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS g3
+  FROM w
+),
+sig AS (
+  SELECT doc_id,
+    round(1.0 - len(list_distinct(g2)) / len(g2)::DOUBLE, 6) AS dup_2gram_frac,
+    round(1.0 - len(list_distinct(g3)) / len(g3)::DOUBLE, 6) AS dup_3gram_frac,
+    round(list_max(list_transform(list_distinct(g2),
+                                  x -> len(list_filter(g2, y -> y = x))))
+          / len(g2)::DOUBLE, 6) AS top_2gram_frac
+  FROM g
+)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+       (dup_2gram_frac <= 0.08 AND top_2gram_frac <= 0.12) AS keep
+FROM sig""",
+)
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals (Rae et al. 2021
+    §A1.1, adapted to word n-grams): duplicated-2/3-gram fractions and the
+    most-frequent-2-gram mass, plus a keep flag. Everything is an IN-ROW
+    fold over the gram arrays — zero shuffle, embarrassingly parallel, the
+    shape you want for a 10^12-doc quality-filter pass."""
+    docs = _t(spark, sf, "documents")
+    g = docs.select(
+        "doc_id",
+        TXT.word_ngrams(F.col("text"), 2).alias("g2"),
+        TXT.word_ngrams(F.col("text"), 3).alias("g3"),
+    )
+    g2, g3 = F.col("g2"), F.col("g3")
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2), lambda x: F.size(F.filter(g2, lambda y: y == x))
+        )
+    )
+    return (
+        g.select(
+            "doc_id",
+            F.round(F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2), 6).alias(
+                "dup_2gram_frac"
+            ),
+            F.round(F.lit(1.0) - F.size(F.array_distinct(g3)) / F.size(g3), 6).alias(
+                "dup_3gram_frac"
+            ),
+            F.round(top2 / F.size(g2), 6).alias("top_2gram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_2gram_frac") <= 0.08) & (F.col("top_2gram_frac") <= 0.12),
+        )
+    )
+
+
+@query(
+    "contamination_check",
+    r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+           generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS gs
+  FROM w
+),
+e AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+bench AS (SELECT DISTINCT ng FROM e WHERE doc_id % 17 = 0),
+hits AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN bench USING (ng) GROUP BY 1)
+SELECT g.doc_id, len(gs) AS n_grams, coalesce(n_hit, 0) AS n_hit,
+       round(coalesce(n_hit, 0) / len(gs)::DOUBLE, 6) AS overlap_frac,
+       (g.doc_id % 17 = 0) AS is_benchmark
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id""",
+)
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each document's distinct
+    word 5-grams that appear in a benchmark set (here: every 17th doc
+    stands in for the eval suite). Scale shape: the benchmark gram set is
+    BROADCAST (eval suites are tiny next to a training corpus), the corpus
+    side is one explode + semi-join + per-doc count — no corpus self-join.
+    Catches the planted near-duplicates as contaminated non-benchmark docs."""
+    docs = _t(spark, sf, "documents")
+    gs = docs.select(
+        "doc_id", F.array_distinct(TXT.word_ngrams(F.col("text"), 5)).alias("gs")
+    )
+    e = gs.select("doc_id", F.explode("gs").alias("ng"))
+    bench = e.filter(F.col("doc_id") % 17 == 0).select("ng").distinct()
+    hits = (
+        e.join(F.broadcast(bench), "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        gs.select("doc_id", F.size("gs").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6).alias(
+                "overlap_frac"
+            ),
+            (F.col("doc_id") % 17 == 0).alias("is_benchmark"),
+        )
+    )
+
+
+@query(
     "lang_id",
     r"""WITH m AS (
   SELECT doc_id,

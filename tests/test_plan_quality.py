@@ -112,3 +112,16 @@ def test_ivf_recall_broadcasts_probes(spark, sf_dir):
     side, never shuffle the corpus."""
     plan = _plan(QUERIES["ivf_recall"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_plan_is_shuffle_free(spark, sf_dir):
+    """Quality filtering at 10^12 docs must be a pure map pass: all the
+    n-gram folds are in-row, so the plan has no Exchange at all."""
+    plan = _plan(QUERIES["repetition_signals"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set broadcasts; the corpus side never self-joins."""
+    plan = _plan(QUERIES["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
