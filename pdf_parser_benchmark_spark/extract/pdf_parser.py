@@ -890,26 +890,69 @@ def parse_tounicode(cmap: bytes) -> tuple["CMapTable", int]:
     return CMapTable(chars, ranges), code_bytes
 
 
+# Adobe Glyph List subset (public AGL): ASCII letters name themselves; the
+# punctuation/digit names below cover the simple-font /Differences fixtures.
+# uniXXXX / uXXXX(XX) names are handled algorithmically in _glyph_to_unicode.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+_AGL.update({c: c for c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"})
+
+_UNI_GLYPH_RE = re.compile(r"uni([0-9A-Fa-f]{4})|u([0-9A-Fa-f]{4,6})")
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Glyph name → unicode char (AGL + the uniXXXX/uXXXXXX algorithm)."""
+    if name in _AGL:
+        return _AGL[name]
+    m = _UNI_GLYPH_RE.fullmatch(name)
+    if m:
+        return chr(int(m.group(1) or m.group(2), 16))
+    if len(name) == 1:
+        return name
+    return "\ufffd"
+
+
 class Font:
     """ToUnicode-backed font. The CMap is parsed LAZILY on first decode —
     pages routinely declare fonts they never use (our fixture resources list
     F1/F2/F3 on every page), and a CID CMap materializes thousands of
-    entries."""
+    entries. Fonts WITHOUT a ToUnicode (notably /Type3) decode through an
+    /Encoding /Differences glyph-name map when present (AGL names), with
+    StandardEncoding ≈ latin-1 for unmapped codes — the reference gets all
+    of this from PyMuPDF (/root/reference/src/ingest.py:50,135)."""
 
     def __init__(
         self,
         cmap: dict[int, str] | None = None,
         code_bytes: int = 1,
         raw_cmap: bytes | None = None,
+        diff_map: dict[int, str] | None = None,
     ):
         self.cmap = cmap
         self.code_bytes = code_bytes
         self._raw_cmap = raw_cmap
+        self.diff_map = diff_map
 
     def decode(self, raw: bytes) -> str:
         if self.cmap is None and self._raw_cmap is not None:
             self.cmap, self.code_bytes = parse_tounicode(self._raw_cmap)
             self._raw_cmap = None
+        if self.cmap is None and self.diff_map is not None:
+            dm = self.diff_map
+            return "".join(
+                _glyph_to_unicode(dm[b]) if b in dm else chr(b) for b in raw
+            )
         if self.cmap is None:
             # StandardEncoding fallback ≈ latin-1 for the printable subset
             return raw.decode("latin-1", errors="replace")
@@ -1192,11 +1235,30 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
             if key not in font_cache:
                 fobj = doc.resolve(fref)
                 raw_cmap = None
+                diff_map = None
                 if isinstance(fobj, dict) and "/ToUnicode" in fobj:
                     cm = doc.resolve(fobj["/ToUnicode"])
                     if isinstance(cm, _Stream):
                         raw_cmap = doc.stream_data(cm)
-                font_cache[key] = Font(raw_cmap=raw_cmap)
+                if isinstance(fobj, dict) and raw_cmap is None:
+                    # simple-font /Encoding /Differences (the Type3 path —
+                    # Type3 fonts have no implicit base encoding)
+                    enc = doc.resolve(fobj.get("/Encoding"))
+                    diffs = (
+                        doc.resolve(enc.get("/Differences"))
+                        if isinstance(enc, dict)
+                        else None
+                    )
+                    if isinstance(diffs, list):
+                        diff_map = {}
+                        code = 0
+                        for item in diffs:
+                            if isinstance(item, (int, float)):
+                                code = int(item)
+                            elif isinstance(item, str) and item.startswith("/"):
+                                diff_map[code] = item[1:]
+                                code += 1
+                font_cache[key] = Font(raw_cmap=raw_cmap, diff_map=diff_map)
             fonts[name.lstrip("/")] = font_cache[key]
         return fonts
 

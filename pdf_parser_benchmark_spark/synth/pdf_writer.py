@@ -70,6 +70,46 @@ def _encode_f2(text: str) -> bytes:
     return bytes(_F2_REVERSE[ch] for ch in text)
 
 
+# F4 (Type3) byte code -> glyph name via /Encoding /Differences. Letters are
+# stored CASE-FLIPPED (code = ord(swapcase)), so a parser that ignores the
+# Differences map and falls back to StandardEncoding/latin-1 provably emits
+# the wrong case. Code 0x8E maps to /uni2014 (em dash) to exercise the AGL
+# uniXXXX algorithm.
+_AGL_NAMES = {
+    " ": "space", ",": "comma", "-": "hyphen", ".": "period", "!": "exclam",
+    "?": "question", ":": "colon", ";": "semicolon", "(": "parenleft",
+    ")": "parenright", "'": "quotesingle",
+    **{d: n for d, n in zip("0123456789",
+       ["zero", "one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine"])},
+}
+F4_DIFF: dict[int, str] = {0x8E: "uni2014"}
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    F4_DIFF[ord(_c.swapcase())] = _c
+for _c, _n in _AGL_NAMES.items():
+    F4_DIFF[ord(_c)] = _n
+_F4_REVERSE = {"—": 0x8E}
+_F4_REVERSE.update({c: ord(c.swapcase()) for c in
+                    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"})
+_F4_REVERSE.update({c: ord(c) for c in _AGL_NAMES})
+
+
+def _encode_f4(text: str) -> bytes:
+    return bytes(_F4_REVERSE[ch] for ch in text)
+
+
+def _f4_differences() -> bytes:
+    """Serialize F4_DIFF as a /Differences array (code runs collapse)."""
+    parts: list[str] = []
+    prev = None
+    for code in sorted(F4_DIFF):
+        if prev is None or code != prev + 1:
+            parts.append(str(code))
+        parts.append("/" + F4_DIFF[code])
+        prev = code
+    return " ".join(parts).encode("ascii")
+
+
 def _tounicode_cmap_cid() -> bytes:
     """2-byte Identity ToUnicode CMap for the Type0/Identity-H fixture font
     (F3): code == unicode codepoint over ASCII + the CJK block we use."""
@@ -120,8 +160,8 @@ def _content_stream(page: PageSpec) -> bytes:
     def _lit(it: TextItem, text: str) -> str:
         if it.font == "F3":  # Type0/Identity-H: 2-byte hex string
             return None  # handled by _show
-        if it.font == "F2":
-            raw = _encode_f2(text)
+        if it.font in ("F2", "F4"):
+            raw = _encode_f2(text) if it.font == "F2" else _encode_f4(text)
             return "".join(
                 chr(b) if 0x20 <= b <= 0x7E and chr(b) not in "\\()" else f"\\{b:03o}"
                 for b in raw
@@ -214,6 +254,22 @@ def build_pdf(
         b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
         b"/ToUnicode %d 0 R >>" % (f3_desc_num, cid_cmap_num)
     )
+    # F4: Type3 font — glyph procs + /Differences encoding, NO ToUnicode
+    # (decode goes through the AGL glyph-name path)
+    glyph_proc = b"0 0 d0"
+    f4_proc_num = add(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(glyph_proc), glyph_proc)
+    )
+    charprocs = b" ".join(
+        b"/%s %d 0 R" % (n.encode("ascii"), f4_proc_num)
+        for n in sorted(set(F4_DIFF.values()))
+    )
+    f4_num = add(
+        b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/FontBBox [0 0 1000 1000] /CharProcs << %s >> "
+        b"/Encoding << /Type /Encoding /Differences [%s] >> >>"
+        % (charprocs, _f4_differences())
+    )
 
     content_nums: list[int] = []
     form_nums: list[int | None] = []
@@ -250,9 +306,11 @@ def build_pdf(
         xobj = b" /XObject << /X1 %d 0 R >>" % fx if fx else b""
         body = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-            b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R /F3 %d 0 R >>%s >> "
+            b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R "
+            b"/F3 %d 0 R /F4 %d 0 R >>%s >> "
             b"/Contents %d 0 R >>"
-            % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, f3_num, xobj, c)
+            % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, f3_num,
+               f4_num, xobj, c)
         )
         page_nums.append(add(body))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)

@@ -115,3 +115,23 @@ def test_multi_content_and_page_count():
     pages = parse_pdf(build_pdf(specs))
     assert len(pages) == 6
     assert _texts(pages[4]) == ["page 4 body"]
+
+
+def test_type3_font_differences_decode():
+    """Type3 font (no ToUnicode): decode goes through /Encoding
+    /Differences glyph names (AGL + uniXXXX). The fixture stores letters
+    CASE-FLIPPED, so a latin-1 fallback would provably emit wrong case."""
+    from pdf_parser_benchmark_spark.synth.pdf_writer import build_pdf, lines_page
+
+    text = "Mixed Case Type3 line, with digits 07 — dash."
+    pages = parse_pdf(build_pdf([lines_page([text], font="F4")]))
+    assert [b.lines for b in pages[0].blocks] == [[text]]
+
+
+def test_differences_on_simple_font_without_tounicode():
+    """A non-Type3 simple font with /Differences and no /ToUnicode uses the
+    same glyph-name path; codes outside the map fall back to latin-1."""
+    from pdf_parser_benchmark_spark.extract.pdf_parser import Font
+
+    f = Font(diff_map={0x41: "b", 0x42: "uni0041", 0x43: "space"})
+    assert f.decode(b"ABC!") == "bA !"
