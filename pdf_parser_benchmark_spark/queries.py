@@ -1948,16 +1948,21 @@ def _canon_url_col(url: F.Column) -> F.Column:
         )
     )
     q = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    # scheme-less / non-URL input → NULL, not a deterministic '://' artifact
+    # (ROADMAP r2: a production pipeline filters these, nulls make that a
+    # plain IS NOT NULL instead of a magic-string comparison)
+    return F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon)
 
 
 _CANON_SQL_TMPL = """
+CASE WHEN regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN
 lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
 regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(443|80)$', '') ||
 regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) ||
@@ -1966,6 +1971,7 @@ CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract({u},
      THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
                                                        kv -> kv <> '' AND NOT regexp_matches(kv, '^utm_'))), '&')
      ELSE '' END
+ELSE NULL END
 """
 
 

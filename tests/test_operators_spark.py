@@ -361,3 +361,17 @@ def test_pq_cluster_precision(spark):
     res = pq_topk(queries, corpus, k=5).collect()
     assert len(res) == 20
     assert all(r["vec_id"] % 8 == r["qid"] % 8 for r in res)
+
+
+def test_url_canonicalize_non_url_input_is_null(spark):
+    """Scheme-less / garbage input canonicalizes to NULL (not '://')."""
+    from pdf_parser_benchmark_spark.queries import _canon_url_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("HTTPS://Host.EX:443/a?b=2&utm_x=1&a=1#f",), ("no scheme here",),
+         ("",), ("host.ex/path",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(_canon_url_col(F.col("url"))).collect()]
+    assert got == ["https://host.ex/a?a=1&b=2", None, None, None]
