@@ -118,14 +118,28 @@ def main() -> None:
 
     from pdf_parser_benchmark_spark.operators.dedup import release_intermediates
 
+    # two lanes per query (this VM shows ±30% trial noise, so cold is a
+    # min-of-2): COLD = intermediates released before each run (what a
+    # fresh job pays); WARM = immediately re-run with the persisted
+    # intermediates still cached (what an interactive session pays; the
+    # round-1/2 bench lane — keep it for round-over-round comparability)
+    warm_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm
-        release_intermediates()  # time a cold-cache plan, not the warm cache
+        fn(spark, SF_DIR).count()  # codegen + JVM warm-up
+        cold = []
+        for _ in range(2):
+            release_intermediates()
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            cold.append(time.monotonic() - t0)
         t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        fn(spark, SF_DIR).count()  # persisted intermediates still live
+        warm_timings[name] = round(time.monotonic() - t0, 3)
         release_intermediates()
+        spark.catalog.clearCache()
+        timings[name] = round(min(cold), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -140,6 +154,7 @@ def main() -> None:
                 "extract_docs_per_sec": round(n_docs / t_extract, 1),
                 "extract_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
                 "extract_by_class": extract_by_class,
+                "queries_warm": warm_timings,
                 "corpus_version": CORPUS_VERSION,
                 "cpus": CPUS,
             }

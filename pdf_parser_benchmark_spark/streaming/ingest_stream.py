@@ -55,6 +55,49 @@ def stream_extract(
     )
 
 
+def stream_ingest_with_manifest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    n_splits: int = 64,
+):
+    """Streaming ingest wired into the SAME operational layer as the batch
+    job: each micro-batch extracts, writes through write_extracted (dynamic
+    overwrite by split), and appends `complete` rows to the checkpoint
+    manifest — so a downstream batch consumer (or a resumed batch backfill)
+    sees streaming progress through the identical partition-level lineage
+    it already reads. Exactly-once at the file level comes from the
+    streaming checkpoint; the manifest adds the split-level audit trail.
+    Returns the started (availableNow) query."""
+    from ..sources import checkpoint as ckpt
+    from ..sources.sink import write_extracted
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        df = with_split_id(batch_df, n_splits)
+        extracted = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+        extracted = extracted.persist()
+        try:
+            if extracted.isEmpty():
+                return
+            write_extracted(extracted, output_dir)
+            ckpt.mark_splits_complete(
+                extracted, manifest_dir, f"stream-{batch_id}", n_splits
+            )
+        finally:
+            extracted.unpersist()
+
+    return (
+        pages.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
 def windowed_counts(events_stream: DataFrame) -> DataFrame:
     """Tumbling 1h counts with 2h watermark (late data dropped past it)."""
     # parquet TIMESTAMP_NTZ → TIMESTAMP: watermarks need an ltz event time

@@ -242,3 +242,34 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path, state_provider):
     got = spark.sql(f"select event_id from dedup_{state_provider}").collect()
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_stream_ingest_writes_manifest_and_matches_batch(spark, pages_dir, tmp_path):
+    """foreachBatch ingest: streaming output is content-identical to the
+    batch extraction, and the checkpoint manifest carries `complete` rows
+    for every split the stream wrote (same lineage the batch job reads)."""
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+    from pdf_parser_benchmark_spark.sources.checkpoint import read_completed_splits
+    from pdf_parser_benchmark_spark.streaming.ingest_stream import (
+        stream_ingest_with_manifest,
+    )
+
+    out = str(tmp_path / "out_m")
+    man = str(tmp_path / "man_m")
+    q = stream_ingest_with_manifest(
+        spark, pages_dir, out, man, str(tmp_path / "ck_m"), n_splits=16
+    )
+    q.awaitTermination(180)
+
+    batch = spark.read.parquet(pages_dir)
+    expect = {
+        (r["url"], r["text"])
+        for r in extract_pages(batch, n_splits=16).select("url", "text").collect()
+    }
+    got_rows = spark.read.parquet(out)
+    got = {(r["url"], r["text"]) for r in got_rows.select("url", "text").collect()}
+    assert got == expect
+
+    done = {r["split_id"] for r in read_completed_splits(spark, man).collect()}
+    written = {r["split_id"] for r in got_rows.select("split_id").distinct().collect()}
+    assert done == written and done  # every written split is marked complete
