@@ -73,6 +73,11 @@ class HtmlBlock:
 
 _CELL_MARK = "\x00"  # in-buffer cell boundary, split out at flush
 
+# media-carrying tags whose src/srcset attributes are collected (the
+# <picture>/<source>/srcset responsive-image surface a training-data
+# pipeline mines for image-text pairs)
+_MEDIA_TAGS = ("img", "source", "video", "audio")
+
 
 def _span(attrs, key: str, cap: int) -> int:
     """td/th colspan/rowspan attribute as a clamped int (HTML spec caps:
@@ -105,6 +110,10 @@ class _BlockParser(HTMLParser):
         self._table_stack: list[dict[int, list]] = []
         # rows suspended at a nested <table> (resumed at its </table>)
         self._row_suspend: list[tuple] = []
+        # media references in document order: (kind, url)
+        self.media: list[tuple[str, str]] = []
+        # <meta name=robots> content values in document order
+        self.meta_robots: list[str] = []
 
     def _flush(self) -> None:
         if self._cur is None:
@@ -169,6 +178,29 @@ class _BlockParser(HTMLParser):
             self._chrome_depth += 1
         if tag == "a":
             self._link_depth += 1
+        if tag == "meta":
+            name = content = None
+            for k, v in attrs:
+                if k == "name":
+                    name = (v or "").lower()
+                elif k == "content":
+                    content = v
+            if name == "robots" and content is not None:
+                self.meta_robots.append(content)
+        if tag in _MEDIA_TAGS:
+            src = srcset = None
+            for k, v in attrs:
+                if k == "src":
+                    src = v
+                elif k == "srcset":
+                    srcset = v
+            if src:
+                self.media.append((tag, src))
+            if srcset:
+                for cand in srcset.split(","):
+                    url = cand.split()[0] if cand.split() else ""
+                    if url:
+                        self.media.append((tag, url))
         if tag == "table":
             if self._cur is not None and self._cur.tag == "table_row":
                 # nested table inside a cell: suspend the outer row, emit
@@ -315,7 +347,7 @@ def _parse_start(
     tm = _TAGFIND.match(html, i + 1)
     name = tm.group(1).lower()
     k = tm.end()
-    collect = name == "td" or name == "th"
+    collect = name in ("td", "th", "img", "source", "video", "audio", "meta")
     attrs: list | tuple = [] if collect else ()
     while k < endpos:  # consume attributes exactly like parse_starttag
         am = _ATTRFIND.match(html, k)
@@ -344,6 +376,11 @@ _RAWTEXT = {"script", "style"}
 
 def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
     p = _BlockParser()
+    _drive_fast(html, p)
+    return p.blocks
+
+
+def _drive_fast(html: str, p: "_BlockParser") -> None:
     start, end, data = p.handle_starttag, p.handle_endtag, p.handle_data
     unescape_needed = "&" in html
     pos, n = 0, len(html)
@@ -397,7 +434,39 @@ def parse_html_blocks_fast(html: str) -> list[HtmlBlock]:
         if tok == "<":
             data("<")
     p._flush()
-    return p.blocks
+
+
+def extract_media_refs(html: str) -> list[tuple[str, str]]:
+    """(kind, url) media references in document order: img/video/audio src
+    plus every srcset candidate (img and <picture><source>). Fast tokenizer
+    with stdlib fallback, same as the block path."""
+    try:
+        p = _BlockParser()
+        _drive_fast(html, p)
+        return p.media
+    except Exception:
+        p = _BlockParser()
+        p.feed(html)
+        p.close()
+        return p.media
+
+
+def robots_noindex(html: str) -> bool:
+    """True when any <meta name=robots> directive contains a `noindex`
+    token (comma/space separated, case-insensitive) — the standard
+    crawl-pipeline exclusion check."""
+    try:
+        p = _BlockParser()
+        _drive_fast(html, p)
+    except Exception:
+        p = _BlockParser()
+        p.feed(html)
+        p.close()
+    for content in p.meta_robots:
+        toks = {t.strip().lower() for t in content.replace(",", " ").split()}
+        if "noindex" in toks:
+            return True
+    return False
 
 
 def parse_html_blocks(html: str) -> list[HtmlBlock]:

@@ -1387,6 +1387,154 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "audio_rms",
+    r"""SELECT doc_id,
+  list_transform(generate_series(0, 15), w ->
+    round(sqrt(list_aggregate(list_transform(generate_series(0, 3), i ->
+      (((doc_id * 31 + (w * 4 + i) * 17) % 201 - 100) / 32768.0)
+      * (((doc_id * 31 + (w * 4 + i) * 17) % 201 - 100) / 32768.0)),
+      'sum') / 4), 6)) AS rms
+FROM documents""",
+)
+def q_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature extraction as a value-verified query: per doc, a
+    deterministic 64-sample PCM signal is wave-encoded (stdlib), decoded by
+    the FROM-SCRATCH RIFF/WAV parser (multimodal.binary_ops._wav_decode),
+    and reduced to 16 windowed-RMS features. The oracle recomputes the same
+    arithmetic directly in SQL — so the real encode→decode→feature path is
+    exercised end-to-end and checked bit-for-bit (sequential sums, exact
+    /32768 scaling, IEEE sqrt on both engines; rounding JVM-side only)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.multimodal.binary_ops import _wav_decode
+
+        for b in batches:
+            rows = []
+            for d in b["doc_id"]:
+                d = int(d)
+                pcm = np.array(
+                    [(d * 31 + i * 17) % 201 - 100 for i in range(64)],
+                    dtype="<i2",
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm.tobytes())
+                x = _wav_decode(buf.getvalue())
+                feats = []
+                for w in range(16):
+                    ss = 0.0
+                    for v in x[w * 4 : (w + 1) * 4]:
+                        ss += float(v) * float(v)
+                    feats.append((ss / 4) ** 0.5)
+                rows.append({"doc_id": d, "rms": feats})
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(gen, "doc_id long, rms array<double>")
+    return out.select(
+        "doc_id", F.transform("rms", lambda v: F.round(v, 6)).alias("rms")
+    )
+
+
+@query(
+    "media_refs",
+    r"""SELECT doc_id, u.pos, u.kind, u.pre || doc_id::VARCHAR || u.suf AS url
+FROM documents
+CROSS JOIN (VALUES
+  (0, 'img',    '/img', '.png'),
+  (1, 'img',    '/s',   'a.webp'),
+  (2, 'img',    '/s',   'b.webp'),
+  (3, 'source', '/p',   '.avif'),
+  (4, 'img',    '/q',   '.jpg')) AS u(pos, kind, pre, suf)""",
+)
+def q_media_refs(spark: SparkSession, sf: str) -> DataFrame:
+    """Responsive-media extraction (srcset/picture): per doc a synthesized
+    page carries an <img src+srcset> and a <picture><source srcset><img>;
+    the REAL extractor (html_extractor.extract_media_refs, fast tokenizer
+    with stdlib fallback) mines (kind, url) refs in document order. The
+    oracle states the expected rows directly — a semantic check of the
+    extractor, not a regex twin. This is the image-text-pair mining step
+    of a multimodal training-data pipeline."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<p>x</p><img src="/img'), F.col("doc_id").cast("string"),
+        F.lit('.png" srcset="/s'), F.col("doc_id").cast("string"),
+        F.lit("a.webp 1x, /s"), F.col("doc_id").cast("string"),
+        F.lit('b.webp 2x"><picture><source srcset="/p'),
+        F.col("doc_id").cast("string"),
+        F.lit('.avif"><img src="/q'), F.col("doc_id").cast("string"),
+        F.lit('.jpg"></picture>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.html_extractor import (
+            extract_media_refs,
+        )
+
+        for b in batches:
+            rows = []
+            for d, h in zip(b["doc_id"], b["html"]):
+                for pos, (kind, url) in enumerate(extract_media_refs(h)):
+                    rows.append(
+                        {"doc_id": int(d), "pos": pos, "kind": kind, "url": url}
+                    )
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(gen, "doc_id long, pos int, kind string, url string")
+
+
+@query(
+    "robots_filter",
+    """SELECT doc_id, (doc_id % 7 = 0) AS noindex FROM documents""",
+)
+def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-exclusion check: pages synthesized with a <meta name=robots>
+    directive ('noindex, follow' on every 7th doc, 'index, follow'
+    otherwise) run through the REAL extractor's robots_noindex() — the
+    oracle states the expected flag directly. Standard pre-filter before
+    any web-corpus ingestion."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    content = F.when(F.col("doc_id") % 7 == 0, F.lit("noindex, follow")).otherwise(
+        F.lit("index, follow")
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="robots" content="'), content,
+        F.lit('"><meta name="viewport" content="width=1"></head>'
+              "<body><p>x</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.html_extractor import (
+            robots_noindex,
+        )
+
+        for b in batches:
+            yield pd.DataFrame(
+                [
+                    {"doc_id": int(d), "noindex": robots_noindex(h)}
+                    for d, h in zip(b["doc_id"], b["html"])
+                ]
+            )
+
+    return pages.mapInPandas(gen, "doc_id long, noindex boolean")
+
+
+@query(
     "lang_id",
     r"""WITH m AS (
   SELECT doc_id,

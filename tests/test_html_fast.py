@@ -47,7 +47,7 @@ _entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&#169;", "&copy;", "&nbsp;"
 def html_doc(draw):
     parts = []
     for _ in range(draw(st.integers(1, 25))):
-        kind = draw(st.integers(0, 6))
+        kind = draw(st.integers(0, 7))
         if kind == 0:
             parts.append(f"<{draw(_tags)}>")
         elif kind == 1:
@@ -58,6 +58,13 @@ def html_doc(draw):
             parts.append(draw(_entity))
         elif kind == 4:
             parts.append(f"<{draw(_tags)} class='x' id=\"y\">")
+        elif kind == 6:
+            m = draw(st.sampled_from(["img", "source", "video", "audio"]))
+            a = draw(st.sampled_from(
+                ['src="/x.png"', 'srcset="/a.webp 1x, /b.webp 2x"',
+                 'srcset="/only.avif"', "src", 'src=""']
+            ))
+            parts.append(f"<{m} {a}>")
         elif kind == 5:
             span = draw(st.sampled_from(
                 ['colspan="2"', "rowspan='3'", "colspan=2", 'colspan="x"',
@@ -73,6 +80,27 @@ def html_doc(draw):
 @settings(max_examples=150, deadline=None)
 def test_identical_on_generated_html(doc):
     assert _sig(parse_html_blocks_fast(doc)) == _sig(parse_html_blocks_stdlib(doc))
+
+
+def _media_both_paths(doc):
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        _BlockParser,
+        _drive_fast,
+    )
+
+    pf = _BlockParser()
+    _drive_fast(doc, pf)
+    ps = _BlockParser()
+    ps.feed(doc)
+    ps.close()
+    return pf.media, ps.media
+
+
+@given(html_doc())
+@settings(max_examples=100, deadline=None)
+def test_media_refs_identical_on_generated_html(doc):
+    fast, std = _media_both_paths(doc)
+    assert fast == std
 
 
 @given(st.text(max_size=300))

@@ -21,15 +21,22 @@ TABLES = (
 
 
 def normalize(rows, cols):
+    import numpy as np
+
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, float) and math.isnan(v):
+            return "nan"
+        return v  # EXACT values — floats must match bitwise
+
     out = []
     for r in rows:
-        vals = []
-        for c in sorted(cols):
-            v = r[c]
-            if isinstance(v, float) and math.isnan(v):
-                v = "nan"
-            vals.append((c, v))  # EXACT values — floats must match bitwise
-        out.append(tuple(vals))
+        out.append(tuple((c, norm(r[c])) for c in sorted(cols)))
     return sorted(out, key=repr)
 
 
