@@ -190,11 +190,43 @@ def extract_pages_arrow(pages: DataFrame, n_splits: int = 64) -> DataFrame:
 
 def salted_host_key(url_col: str = "url", salt_buckets: int = 16):
     """Host-colocated partition key with hot-host splitting:
-    concat(host, pmod(xxhash64(url), S))."""
+    concat(host, pmod(xxhash64(url), S)). Salts EVERY host — co-location
+    is lost for all of them; prefer auto_salted_host_key when only a few
+    hosts are hot (the common web-corpus shape)."""
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     return F.concat_ws(
         "#", host, F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
     )
+
+
+def auto_salted_host_key(
+    df: DataFrame,
+    url_col: str = "url",
+    share_threshold: float = 0.05,
+    salt_buckets: int = 16,
+):
+    """MEASURED skew handling: one tiny (host, count) aggregation finds the
+    hosts holding more than ``share_threshold`` of the rows; only those are
+    salted across ``salt_buckets``, every cold host keeps its pure host key
+    (co-location preserved). Scale shape: the per-host counts never leave
+    the cluster — only the hot list does, and it is bounded above by
+    1/share_threshold entries regardless of corpus size."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    counts = df.groupBy(host.alias("h")).count().persist()
+    try:
+        total = counts.agg(F.sum("count")).collect()[0][0] or 0
+        hot = [
+            r["h"]
+            for r in counts.filter(
+                F.col("count") >= share_threshold * total
+            ).collect()
+        ]
+    finally:
+        counts.unpersist()
+    salted = F.concat_ws(
+        "#", host, F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    )
+    return F.when(host.isin(hot), salted).otherwise(host) if hot else host
 
 
 def extract_pages(

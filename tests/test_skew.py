@@ -50,3 +50,35 @@ def test_default_hash_key_spreads_uniformly(spark):
     sizes = [r["n"] for r in dist]
     assert len(sizes) == 16
     assert max(sizes) < 2.0 * (N / 16)  # no partition even 2x the mean
+
+
+def test_auto_salt_splits_only_hot_hosts(spark):
+    """auto_salted_host_key measures shares and salts ONLY hosts above the
+    threshold: host0 (~20% of rows) spreads over many key buckets, while a
+    cold tail host keeps its single pure key (co-location preserved)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.plans.pipeline import auto_salted_host_key
+    from pdf_parser_benchmark_spark.synth.pages import generate_pages_df
+
+    pages = generate_pages_df(spark, 600).select("url")
+    key = auto_salted_host_key(pages, share_threshold=0.10, salt_buckets=8)
+    keyed = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("h"), key.alias("k")
+    ).persist()
+    try:
+        per_host_keys = {
+            r["h"]: r["n"]
+            for r in keyed.groupBy("h")
+            .agg(F.countDistinct("k").alias("n"))
+            .collect()
+        }
+        assert per_host_keys["host0.example"] > 1  # hot: salted
+        cold = [h for h in per_host_keys if h not in ("host0.example",)]
+        assert cold and all(per_host_keys[h] == 1 for h in cold)  # pure keys
+        # the biggest salted bucket is far below the raw host0 share
+        top = keyed.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+        host0 = keyed.filter(F.col("h") == "host0.example").count()
+        assert top < host0
+    finally:
+        keyed.unpersist()
