@@ -1211,6 +1211,61 @@ class ParsedPage:
     blocks: list[Block] = field(default_factory=list)
 
 
+def _is_cjk_char(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x2E80 <= o <= 0x9FFF  # radicals, kana, CJK unified
+        or 0xF900 <= o <= 0xFAFF  # compatibility ideographs
+        or 0xFF00 <= o <= 0xFFEF  # fullwidth forms
+    )
+
+
+def _merge_vertical_runs(items: list[TextSpanItem]) -> list[TextSpanItem]:
+    """Vertical-writing recovery (Identity-V CJK): a column of ≥3
+    consecutive SINGLE-CJK-glyph show operations sharing an x position
+    with a uniform downward step is one vertical line read top-to-bottom —
+    merge it into a single item so XY-cut doesn't shred it into one block
+    per glyph. Latin text and multi-char show ops are never touched."""
+    cols: dict[int, list[int]] = {}
+    for idx, it in enumerate(items):
+        if len(it.text) == 1 and _is_cjk_char(it.text):
+            cols.setdefault(int(round(it.x / LINE_TOL)), []).append(idx)
+    if not cols:
+        return items
+    merged_away: set[int] = set()
+    replacements: dict[int, TextSpanItem] = {}
+
+    def flush(run: list[int]) -> None:
+        if len(run) >= 3:
+            top = items[run[0]]
+            replacements[run[0]] = TextSpanItem(
+                top.x,
+                top.y,
+                "".join(items[i].text for i in run),
+                max(items[i].size for i in run),
+            )
+            merged_away.update(run[1:])
+
+    for idxs in cols.values():
+        idxs.sort(key=lambda i: -items[i].y)
+        run = [idxs[0]]
+        for a, b in zip(idxs, idxs[1:]):
+            step = items[a].y - items[b].y
+            if 0 < step <= items[a].size * 1.8:
+                run.append(b)
+            else:
+                flush(run)
+                run = [b]
+        flush(run)
+    if not replacements:
+        return items
+    return [
+        replacements.get(i, it)
+        for i, it in enumerate(items)
+        if i not in merged_away
+    ]
+
+
 def _rotate_items(items: list[TextSpanItem], rotation: int) -> list[TextSpanItem]:
     """Reading-order transform for /Rotate 90|270 pages (deterministic
     replacement for the reference's vision path on landscape pages)."""
@@ -1290,6 +1345,7 @@ def parse_pdf(data: bytes) -> list[ParsedPage]:
                 data_parts.append(doc.stream_data(s))
         items = interpret_content(b"\n".join(data_parts), fonts, xobjects)
         items = _rotate_items(items, rotation)
+        items = _merge_vertical_runs(items)
         blocks = [_to_block(g) for g in _xy_cut(items) if g]
         pages.append(ParsedPage(index=idx, rotation=rotation, blocks=blocks))
     return pages

@@ -135,3 +135,44 @@ def test_differences_on_simple_font_without_tounicode():
 
     f = Font(diff_map={0x41: "b", 0x42: "uni0041", 0x43: "space"})
     assert f.decode(b"ABC!") == "bA !"
+
+
+def test_vertical_cjk_run_merges_to_one_line():
+    """Identity-V-style vertical writing: one Tj per CJK glyph descending a
+    column reconstructs into a single top-to-bottom line; Latin text and
+    horizontal CJK are untouched."""
+    from pdf_parser_benchmark_spark.synth.pdf_writer import (
+        PageSpec,
+        TextItem,
+        build_pdf,
+    )
+
+    chars = "学习数据评估团队"
+    items = [
+        TextItem(500, 700 - i * 14, c, size=12, font="F3")
+        for i, c in enumerate(chars)
+    ]
+    items.append(TextItem(72, 300, "a normal horizontal line", size=11))
+    items.append(TextItem(72, 280, "学习 数据", size=11, font="F3"))
+    pages = parse_pdf(build_pdf([PageSpec(items=items)]))
+    lines = [ln for b in pages[0].blocks for ln in b.lines]
+    assert chars in lines
+    assert "a normal horizontal line" in lines
+    assert "学习 数据" in lines
+
+
+def test_two_short_cjk_items_not_merged():
+    """A run shorter than 3 glyphs stays as-is (no false vertical merge)."""
+    from pdf_parser_benchmark_spark.synth.pdf_writer import (
+        PageSpec,
+        TextItem,
+        build_pdf,
+    )
+
+    items = [
+        TextItem(500, 700, "学", size=12, font="F3"),
+        TextItem(500, 686, "习", size=12, font="F3"),
+    ]
+    pages = parse_pdf(build_pdf([PageSpec(items=items)]))
+    lines = [ln for b in pages[0].blocks for ln in b.lines]
+    assert "学习" not in lines

@@ -37,7 +37,10 @@ def classify(row_id: int) -> list[str]:
             elif roll % 8 == 1:
                 tags.append("pdf:font-F4-type3")
             if P._mix(row_id, 63, p) % 5 == 0:
-                tags.append("pdf:cjk-identityH")
+                if P._mix(row_id, 67, p) % 3 == 0:
+                    tags.append("pdf:cjk-vertical")
+                else:
+                    tags.append("pdf:cjk-identityH")
             if p % 3 == 1:
                 tags.append("pdf:tj-array")
     else:
