@@ -558,3 +558,57 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id) nodes + (id_a, id_b) undirected edges → (id, cluster), where
+    cluster is the minimum id reachable — the canonical representative of
+    each near-duplicate group (what a training pipeline keeps one of).
+
+    Hash-min label propagation as iterative DataFrame joins: per round,
+    every node takes the min of its own label and its neighbors' labels;
+    converged when no label changes. Rounds are bounded by the component
+    diameter — near-dup clusters are a handful of docs, so this terminates
+    in 2-4 rounds in practice (a 10^12-row general graph would want the
+    two-phase small-star/large-star variant, same join shapes). Only
+    (id, label) pairs ever shuffle; the convergence check is a count."""
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = sym.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "cluster")
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("cluster").alias("cluster"))
+                .persist()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+        _LIVE_INTERMEDIATES.append(labels)  # released after materialization

@@ -1221,6 +1221,65 @@ def q_jaccard_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_shingle_sql(3)},
+d AS (SELECT doc_id, source FROM documents),
+pairs AS (
+  SELECT da.doc_id AS a, db.doc_id AS b
+  FROM d da
+  JOIN d db ON da.source = db.source AND da.doc_id < db.doc_id
+  JOIN sh sa ON sa.id = da.doc_id
+  JOIN sh sb ON sb.id = db.doc_id
+  WHERE len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+        / greatest(len(list_distinct(list_concat(sa.shs, sb.shs))), 1)::DOUBLE >= 0.1
+),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a""",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the blocked
+    Jaccard pair graph (τ=0.1), labels = min reachable id. The step after
+    pair generation in every real dedup pipeline — pairs alone can't tell
+    you which docs to keep when dups chain (a~b, b~c). Iterative hash-min
+    label propagation on Spark; the oracle is a recursive-CTE transitive
+    closure, so the fixpoint itself is value-verified."""
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = DD.jaccard_neardup_pairs(
+        docs, "doc_id", "text", "source", threshold=0.1
+    ).select("id_a", "id_b")
+    return DD.connected_components(nodes, edges)
+
+
+@query(
+    "stratified_sample",
+    """SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || ':strat'), doc_id) <= 10""",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=10 docs per language,
+    ordered by a content-independent hash — the reproducible eval-set /
+    train-val split construction step (same rows on any engine, any
+    partitioning, any day). One window per stratum; no global sort."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+
 # ===========================================================================
 # text analysis (training-data ops)
 # ===========================================================================

@@ -375,3 +375,16 @@ def test_url_canonicalize_non_url_input_is_null(spark):
     )
     got = [r[0] for r in df.select(_canon_url_col(F.col("url"))).collect()]
     assert got == ["https://host.ex/a?a=1&b=2", None, None, None]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A chained component (1-2, 2-3, 3-4) collapses to min id 1; disjoint
+    pair (10, 11) to 10; isolated node stays its own cluster."""
+    from pdf_parser_benchmark_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
