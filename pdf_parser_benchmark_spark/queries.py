@@ -1280,6 +1280,48 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff",
+    """WITH prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'OLD ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+cur AS (SELECT doc_id, text FROM documents)
+SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM cur c LEFT JOIN prev p ON c.doc_id = p.doc_id""",
+)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental recrawl handling: diff the current corpus snapshot
+    against the previous one by content hash — added / changed / unchanged
+    per url (the rows a pipeline actually reprocesses). The 'previous'
+    snapshot is derived deterministically (every 13th doc missing, every
+    11th doc's text mutated). Scale shape: a single hash-compare join on
+    the key; only (id, md5) pairs matter, never two copies of the bodies."""
+    docs = _t(spark, sf, "documents")
+    prev = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("OLD "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cur = docs.select("doc_id", "text")
+    c = cur.select("doc_id", F.md5("text").alias("h_c"))
+    p_ = prev.select("doc_id", F.md5("text").alias("h_p"))
+    return c.join(p_, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("h_p").isNull(), F.lit("added"))
+        .when(F.col("h_c") != F.col("h_p"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 # ===========================================================================
 # text analysis (training-data ops)
 # ===========================================================================
