@@ -27,16 +27,23 @@ def con():
 def _normalize(df):
     import math
 
+    import numpy as np
+
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, float) and math.isnan(v):
+            return "nan"
+        return v  # EXACT values — floats must match bitwise
+
     cols = sorted(df.columns)
     out = []
     for r in df.to_dict("records"):
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float) and math.isnan(v):
-                v = "nan"
-            vals.append(v)  # EXACT values — floats must match bitwise
-        out.append(tuple(vals))
+        out.append(tuple(norm(r[c]) for c in cols))
     return cols, sorted(out, key=repr)
 
 
