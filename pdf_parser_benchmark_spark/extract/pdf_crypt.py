@@ -332,12 +332,26 @@ def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def r6_user_entries(file_key: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
-    """Algorithm 8 (empty user password): → (/U 48 bytes, /UE 32 bytes)."""
-    u = hash_2b(b"", vsalt) + vsalt + ksalt
-    intermediate = hash_2b(b"", ksalt)
+def r6_user_entries(
+    file_key: bytes, vsalt: bytes, ksalt: bytes, pwd: bytes = b""
+) -> tuple[bytes, bytes]:
+    """Algorithm 8: → (/U 48 bytes, /UE 32 bytes) for the given user pwd."""
+    u = hash_2b(pwd, vsalt) + vsalt + ksalt
+    intermediate = hash_2b(pwd, ksalt)
     ue = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
     return u, ue
+
+
+def r6_verify_owner_password(pwd: bytes, o: bytes, u: bytes) -> bool:
+    """Algorithm 12: hash(owner pwd + validation salt + U[0:48]) == O[0:32]."""
+    return hash_2b(pwd, o[32:40], u[:48]) == o[:32]
+
+
+def r6_retrieve_file_key_owner(pwd: bytes, o: bytes, oe: bytes, u: bytes) -> bytes:
+    """Algorithm 9 retrieval: decrypt /OE with the owner key-salt
+    intermediate (udata = the 48-byte /U)."""
+    intermediate = hash_2b(pwd, o[40:48], u[:48])
+    return _cbc_decrypt_nopad(intermediate, oe, b"\x00" * 16)
 
 
 def r6_owner_entries(
@@ -361,13 +375,15 @@ def r6_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
     return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
 
 
-def r5_user_entries(file_key: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
-    """Revision 5 (legacy AES-256, Adobe ExtensionLevel 3) /U + /UE for the
-    empty user password: plain single-pass SHA-256 — NO Algorithm 2.B."""
+def r5_user_entries(
+    file_key: bytes, vsalt: bytes, ksalt: bytes, pwd: bytes = b""
+) -> tuple[bytes, bytes]:
+    """Revision 5 (legacy AES-256, Adobe ExtensionLevel 3) /U + /UE:
+    plain single-pass SHA-256 — NO Algorithm 2.B."""
     from hashlib import sha256
 
-    u = sha256(vsalt).digest() + vsalt + ksalt  # sha256(pwd+vsalt), pwd=b""
-    intermediate = sha256(ksalt).digest()
+    u = sha256(pwd + vsalt).digest() + vsalt + ksalt
+    intermediate = sha256(pwd + ksalt).digest()
     ue = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
     return u, ue
 
@@ -462,6 +478,24 @@ def user_password_matches(u: bytes, file_key: bytes, id0: bytes, r: int) -> bool
     R≥3 compares only the first 16 bytes (spec: the rest is arbitrary)."""
     expect = compute_user_hash(file_key, id0, r)
     return (u[:16] == expect[:16]) if r >= 3 else (u[:32] == expect[:32])
+
+
+def recover_user_password(owner_pwd: bytes, o: bytes, r: int, key_len: int) -> bytes:
+    """Algorithm 7 (R2-R4): decrypt /O with the owner-pass RC4 key to
+    recover the padded user password (returned padded; feed to Algorithm 2
+    via compute_file_key, which re-pads idempotently)."""
+    h = md5(_padded(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h).digest()
+    rc4_key = h[:key_len]
+    user = o
+    if r == 2:
+        user = rc4(rc4_key, user)
+    else:
+        for i in range(19, -1, -1):
+            user = rc4(bytes(b ^ i for b in rc4_key), user)
+    return user
 
 
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:

@@ -339,8 +339,9 @@ class PdfDocument:
     BACK at an older offset (a revert). Without a usable chain, the last
     occurrence wins (ordinary incremental-update semantics)."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
+        self._password = password
         self.objects: dict[int, object] = {}
         self._occurrences: dict[int, list[tuple[int, object, int]]] = {}
         self._root_ref: Ref | None = None  # newest trailer's /Root
@@ -591,17 +592,34 @@ class PdfDocument:
             if not isinstance(u, bytes) or not isinstance(ue, bytes) or len(u) < 48:
                 raise ValueError("malformed AES-256 /Encrypt dict")
             perms = enc.get("/Perms")
-            if isinstance(perms, bytes) and len(perms) >= 16:
-                # fast path: retrieve the key with ONE derivation pass and
-                # validate via /Perms (Algorithm 13) — wrong password yields
-                # a garbage key that fails the 'adb' marker check
-                key = retrieve(b"", u, ue)
-                if not pdf_crypt.r6_check_perms(key, perms):
-                    raise ValueError("encrypted document: user password required")
-            else:
-                if not verify(b"", u):
-                    raise ValueError("encrypted document: user password required")
-                key = retrieve(b"", u, ue)
+            o5, oe5 = enc.get("/O"), enc.get("/OE")
+
+            def try_pwd(pwd: bytes) -> "bytes | None":
+                if isinstance(perms, bytes) and len(perms) >= 16:
+                    # fast path: retrieve the key with ONE derivation pass
+                    # and validate via /Perms (Algorithm 13) — a wrong
+                    # password yields a garbage key failing the 'adb' check
+                    k = retrieve(pwd, u, ue)
+                    return k if pdf_crypt.r6_check_perms(k, perms) else None
+                return retrieve(pwd, u, ue) if verify(pwd, u) else None
+
+            key = try_pwd(b"")
+            if key is None and self._password:
+                key = try_pwd(self._password)  # user-password flow
+            if (
+                key is None
+                and self._password
+                and r == 6
+                and isinstance(o5, bytes)
+                and isinstance(oe5, bytes)
+                and len(o5) >= 48
+                and pdf_crypt.r6_verify_owner_password(self._password, o5, u)
+            ):
+                key = pdf_crypt.r6_retrieve_file_key_owner(
+                    self._password, o5, oe5, u
+                )  # owner-password flow (Algorithm 12/9)
+            if key is None:
+                raise ValueError("encrypted document: user password required")
             self._file_key = key
             self._aes = True
             self._r6 = True
@@ -629,11 +647,25 @@ class PdfDocument:
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise ValueError("malformed /Encrypt dict")
         meta = self.resolve(enc.get("/EncryptMetadata"))
-        key = pdf_crypt.compute_file_key(
-            b"", o, p, id0, r, key_len,
-            encrypt_metadata=(True if meta is None else bool(meta)),
-        )
-        if not pdf_crypt.user_password_matches(u, key, id0, r):
+        em = True if meta is None else bool(meta)
+
+        def classic_key(pwd: bytes) -> "bytes | None":
+            k = pdf_crypt.compute_file_key(
+                pwd, o, p, id0, r, key_len, encrypt_metadata=em
+            )
+            return k if pdf_crypt.user_password_matches(u, k, id0, r) else None
+
+        key = classic_key(b"")
+        if key is None and self._password:
+            key = classic_key(self._password)  # user-password flow
+        if key is None and self._password:
+            # owner-password flow (Algorithm 7): decrypt /O back to the
+            # padded user password, then run the standard user flow
+            recovered = pdf_crypt.recover_user_password(
+                self._password, o, r, key_len
+            )
+            key = classic_key(recovered)
+        if key is None:
             raise ValueError("encrypted document: user password required")
         self._file_key = key
         self._aes = aes
@@ -1276,9 +1308,11 @@ def _rotate_items(items: list[TextSpanItem], rotation: int) -> list[TextSpanItem
     return items
 
 
-def parse_pdf(data: bytes) -> list[ParsedPage]:
-    """bytes → pages of reading-ordered text blocks."""
-    doc = PdfDocument(data)
+def parse_pdf(data: bytes, password: bytes = b"") -> list[ParsedPage]:
+    """bytes → pages of reading-ordered text blocks. ``password`` opens
+    user- or owner-password-protected files (empty-user files always open
+    transparently, matching fitz.open's behavior in the reference)."""
+    doc = PdfDocument(data, password)
     pages: list[ParsedPage] = []
     font_cache: dict[int, Font] = {}  # CMaps parsed once per font object
 

@@ -205,6 +205,7 @@ def build_pdf(
     encrypt: str | None = None,
     info_title: str | None = None,
     info_gen: int = 0,
+    user_password: bytes = b"",
 ) -> bytes:
     """Assemble a complete PDF file with a correct xref table.
 
@@ -422,14 +423,18 @@ def build_pdf(
                 # legacy revision 5: single-pass SHA-256, no Algorithm 2.B
                 from hashlib import sha256
 
-                u_entry, ue = pdf_crypt.r5_user_entries(file_key, vsalt, ksalt)
+                u_entry, ue = pdf_crypt.r5_user_entries(
+                    file_key, vsalt, ksalt, pwd=user_password
+                )
                 o_entry = sha256(b"owner" + ovs + u_entry[:48]).digest() + ovs + oks
                 oe = pdf_crypt._cbc_encrypt_nopad(
                     sha256(b"owner" + oks + u_entry[:48]).digest(),
                     file_key, b"\x00" * 16,
                 )
             else:
-                u_entry, ue = pdf_crypt.r6_user_entries(file_key, vsalt, ksalt)
+                u_entry, ue = pdf_crypt.r6_user_entries(
+                    file_key, vsalt, ksalt, pwd=user_password
+                )
                 o_entry, oe = pdf_crypt.r6_owner_entries(b"owner", file_key, u_entry, ovs, oks)
             perms = pdf_crypt.r6_perms(file_key, p)  # Algorithm 13 is revision-shared
             enc_dict = (
@@ -443,8 +448,10 @@ def build_pdf(
         else:
             aes, r6 = encrypt == "aes", False
             r, v, key_len = (4, 4, 16) if aes else (3, 2, 16)
-            o_entry = pdf_crypt.compute_owner_hash(b"owner", b"", r, key_len)
-            file_key = pdf_crypt.compute_file_key(b"", o_entry, p, id0, r, key_len)
+            o_entry = pdf_crypt.compute_owner_hash(b"owner", user_password, r, key_len)
+            file_key = pdf_crypt.compute_file_key(
+                user_password, o_entry, p, id0, r, key_len
+            )
             u_entry = pdf_crypt.compute_user_hash(file_key, id0, r)
             cf = (
                 b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "

@@ -182,3 +182,31 @@ def test_password_protected_lands_in_error_column(spark):
     opened = out["https://x.example/open.pdf"]
     assert not opened["error"] and opened["chunk_count"] > 0
     assert "Body one." in opened["text"]
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256", "aes256r5"])
+def test_user_password_protected_opens_with_password(mode):
+    """A file with a NON-empty user password refuses the empty flow but
+    opens with the right password across every encryption mode."""
+    plain = _sig(parse_pdf(build_pdf(SPECS)))
+    data = build_pdf(SPECS, encrypt=mode, user_password=b"s3cret")
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf(data)
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf(data, password=b"wrong")
+    assert _sig(parse_pdf(data, password=b"s3cret")) == plain
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256"])
+def test_owner_password_opens_user_protected_file(mode):
+    """The OWNER password ('owner' in the writer) opens a user-protected
+    file via Algorithm 7 (classic) / Algorithm 12+9 (R6)."""
+    plain = _sig(parse_pdf(build_pdf(SPECS)))
+    data = build_pdf(SPECS, encrypt=mode, user_password=b"s3cret")
+    assert _sig(parse_pdf(data, password=b"owner")) == plain
+
+
+def test_owner_password_on_empty_user_file_still_opens():
+    data = build_pdf(SPECS, encrypt="rc4")
+    plain = _sig(parse_pdf(build_pdf(SPECS)))
+    assert _sig(parse_pdf(data, password=b"owner")) == plain
