@@ -114,6 +114,10 @@ class _BlockParser(HTMLParser):
         self.media: list[tuple[str, str]] = []
         # <meta name=robots> content values in document order
         self.meta_robots: list[str] = []
+        # (href, anchor_text) pairs in document order
+        self.links: list[tuple[str, str]] = []
+        self._anchor_href: str | None = None
+        self._anchor_buf: list[str] = []
 
     def _flush(self) -> None:
         if self._cur is None:
@@ -178,6 +182,11 @@ class _BlockParser(HTMLParser):
             self._chrome_depth += 1
         if tag == "a":
             self._link_depth += 1
+            if self._anchor_href is None:  # outermost <a> wins on nesting
+                href = next((v for k, v in attrs if k == "href"), None)
+                if href:
+                    self._anchor_href = href
+                    self._anchor_buf = []
         if tag == "meta":
             name = content = None
             for k, v in attrs:
@@ -241,6 +250,12 @@ class _BlockParser(HTMLParser):
             self._chrome_depth -= 1
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
+            if self._link_depth == 0 and self._anchor_href is not None:
+                self.links.append(
+                    (self._anchor_href, " ".join("".join(self._anchor_buf).split()))
+                )
+                self._anchor_href = None
+                self._anchor_buf = []
         if tag in _CONTAINERS and self._cstack:
             self._cstack.pop()  # tolerant: unbalanced HTML pops the nearest
         if tag == "table":
@@ -257,6 +272,8 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        if self._anchor_href is not None:
+            self._anchor_buf.append(data)
         if self._cur is not None:
             self._buf.append(data)
             if self._link_depth > 0:
@@ -347,7 +364,9 @@ def _parse_start(
     tm = _TAGFIND.match(html, i + 1)
     name = tm.group(1).lower()
     k = tm.end()
-    collect = name in ("td", "th", "img", "source", "video", "audio", "meta")
+    collect = name in (
+        "td", "th", "img", "source", "video", "audio", "meta", "a"
+    )
     attrs: list | tuple = [] if collect else ()
     while k < endpos:  # consume attributes exactly like parse_starttag
         am = _ATTRFIND.match(html, k)
@@ -449,6 +468,22 @@ def extract_media_refs(html: str) -> list[tuple[str, str]]:
         p.feed(html)
         p.close()
         return p.media
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """(href, whitespace-normalized anchor text) in document order — the
+    link-graph mining step (anchor text is a classic relevance/quality
+    signal; hrefs feed host-level graph statistics). Nested <a> keeps the
+    outermost href. Fast tokenizer with stdlib fallback."""
+    try:
+        p = _BlockParser()
+        _drive_fast(html, p)
+        return p.links
+    except Exception:
+        p = _BlockParser()
+        p.feed(html)
+        p.close()
+        return p.links
 
 
 def robots_noindex(html: str) -> bool:

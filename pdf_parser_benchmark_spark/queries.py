@@ -1322,6 +1322,51 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "link_graph",
+    """SELECT doc_id, u.pos,
+       CASE WHEN u.pos = 0 THEN 'https://hub' || (doc_id % 5)::VARCHAR
+                 || '.example/t' || doc_id::VARCHAR
+            ELSE '/local/' || doc_id::VARCHAR END AS href,
+       CASE WHEN u.pos = 0 THEN 'hub link ' || (doc_id % 5)::VARCHAR
+            ELSE 'local ' || doc_id::VARCHAR END AS anchor
+FROM documents CROSS JOIN (VALUES (0), (1)) AS u(pos)""",
+)
+def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph mining: the REAL extractor (html_extractor.extract_links)
+    pulls (href, anchor text) from synthesized pages — one absolute link to
+    a hub host and one site-local link per doc; the oracle states the
+    expected rows. Anchor text + hrefs are the inputs to host-level graph
+    quality signals (in-degree, hub detection) downstream."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p>intro <a href="https://hub'), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/t"), d,
+        F.lit('">hub <b>link</b> '), (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a> and <a href="/local/'), d,
+        F.lit('">local '), d, F.lit("</a></p>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.html_extractor import extract_links
+
+        for b in batches:
+            rows = []
+            for did, h in zip(b["doc_id"], b["html"]):
+                for pos, (href, anchor) in enumerate(extract_links(h)):
+                    rows.append(
+                        {"doc_id": int(did), "pos": pos, "href": href,
+                         "anchor": anchor}
+                    )
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(gen, "doc_id long, pos int, href string, anchor string")
+
+
 # ===========================================================================
 # text analysis (training-data ops)
 # ===========================================================================

@@ -59,10 +59,11 @@ def html_doc(draw):
         elif kind == 4:
             parts.append(f"<{draw(_tags)} class='x' id=\"y\">")
         elif kind == 6:
-            m = draw(st.sampled_from(["img", "source", "video", "audio"]))
+            m = draw(st.sampled_from(["img", "source", "video", "audio", "a"]))
             a = draw(st.sampled_from(
                 ['src="/x.png"', 'srcset="/a.webp 1x, /b.webp 2x"',
-                 'srcset="/only.avif"', "src", 'src=""']
+                 'srcset="/only.avif"', "src", 'src=""',
+                 'href="/l1"', "href=''", "href"]
             ))
             parts.append(f"<{m} {a}>")
         elif kind == 5:
@@ -101,6 +102,22 @@ def _media_both_paths(doc):
 def test_media_refs_identical_on_generated_html(doc):
     fast, std = _media_both_paths(doc)
     assert fast == std
+
+
+@given(html_doc())
+@settings(max_examples=100, deadline=None)
+def test_links_identical_on_generated_html(doc):
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        _BlockParser,
+        _drive_fast,
+    )
+
+    pf = _BlockParser()
+    _drive_fast(doc, pf)
+    ps = _BlockParser()
+    ps.feed(doc)
+    ps.close()
+    assert pf.links == ps.links
 
 
 @given(st.text(max_size=300))
