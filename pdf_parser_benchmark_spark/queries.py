@@ -1367,6 +1367,31 @@ def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     return pages.mapInPandas(gen, "doc_id long, pos int, href string, anchor string")
 
 
+@query(
+    "host_indegree",
+    """SELECT 'hub' || (doc_id % 5)::VARCHAR || '.example' AS host,
+       count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def q_host_indegree(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link-graph statistic: in-degree of each target host over
+    the extracted absolute links (site-local hrefs have no host and drop
+    out). The downstream half of link-graph quality signals — hub hosts
+    surface by in-degree. Composes the real extractor output; aggregation
+    is a plain partial-agg groupBy on the host."""
+    links = q_link_graph(spark, sf)
+    host = F.parse_url("href", F.lit("HOST"))
+    return (
+        links.select("doc_id", host.alias("host"))
+        .filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 # ===========================================================================
 # text analysis (training-data ops)
 # ===========================================================================
