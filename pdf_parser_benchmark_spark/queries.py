@@ -2591,3 +2591,85 @@ try:
             ORACLES[_name] = _sql
 except ImportError:  # pragma: no cover — before first generation
     pass
+
+
+# ---------------------------------------------------------------------------
+# driver-window rotation (round 4+)
+#
+# The driver's per-round CORRECTNESS gate hashes only the FIRST 50 entries of
+# QUERIES (insertion order). Rounds 1-3 always presented the same first 50, so
+# 34 queries — including extract_digest, the only value-level oracle of the
+# flagship extraction — never received a hard driver row. Rotate: queries with
+# no driver CORRECTNESS row in any prior round go first, then this round's new
+# queries, then high-value keepers (dedup/ANN/streaming twins and the two
+# once-red rows); three-round-stable P-series rows move to the tail. Nothing
+# is dropped — tools/parity_check.py still validates all entries locally.
+# Policy: each round, promote never-driver-checked + newly added queries into
+# the first 50 and demote the longest-stable rows.
+# ---------------------------------------------------------------------------
+_DRIVER_WINDOW_FIRST = [
+    # never driver-checked in r1-r3 (34)
+    "extract_digest",
+    "extract_pipeline",
+    "contamination_check",
+    "audio_rms",
+    "media_refs",
+    "robots_filter",
+    "lang_id",
+    "lang_id3",
+    "doc_fingerprint",
+    "hash_embeddings",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_volume",
+    "semi_join_customers",
+    "set_ops_sources",
+    "excerpts",
+    "rollup_revenue",
+    "pivot_status_qty",
+    "count_distinct_orders",
+    "median_value_by_type",
+    "tpch_q6_forecast",
+    "tpch_q4_priority",
+    "tpch_q10_returns",
+    "sql_api_pricing",
+    "sql_api_topk",
+    "url_canonicalize",
+    "url_dedup",
+    "pii_redact",
+    "hash_sample",
+    "ngram_topk",
+    "salted_agg",
+    "salted_join",
+    "multimodal_decode",
+    "frame_sample",
+    # high-value keepers from the r1-r3 window (dedup/ANN/streaming + once-red)
+    "dedup_exact",
+    "minhash_neardup",
+    "simhash_neardup",
+    "jaccard_neardup",
+    "dedup_clusters",
+    "embedding_neardup_rh",
+    "topk_cosine",
+    "ann_ivf_topk",
+    "pq_topk",
+    "ivf_recall",
+    "sessionize",
+    "windowed_event_counts",
+    "summary_agg",
+    "fuzzy_title_join",
+    "stratified_sample",
+    "snapshot_diff",
+]
+
+
+def _rotate_driver_window(d: dict) -> None:
+    head = [n for n in _DRIVER_WINDOW_FIRST if n in d]
+    tail = [n for n in d if n not in set(head)]
+    items = [(n, d[n]) for n in head + tail]
+    d.clear()
+    d.update(items)
+
+
+_rotate_driver_window(QUERIES)
+_rotate_driver_window(ORACLES)
