@@ -148,9 +148,11 @@ class _BlockParser(HTMLParser):
 
             for i, seg in enumerate(segs):
                 cs, rs = meta[i] if i < len(meta) else (1, 1)
-                place_pending()
                 cell = " ".join(seg.split())
                 for _ in range(cs):
+                    # a carry may occupy a column inside this colspan run;
+                    # emit it so it is consumed, not aged away silently
+                    place_pending()
                     if rs > 1 and pending is not None:
                         pending[col] = [cell, rs - 1]
                         consumed.add(col)

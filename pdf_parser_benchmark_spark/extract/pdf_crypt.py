@@ -403,6 +403,34 @@ def r5_retrieve_file_key(pwd: bytes, u: bytes, ue: bytes) -> bytes:
     return _cbc_decrypt_nopad(intermediate, ue, b"\x00" * 16)
 
 
+def r5_owner_entries(
+    owner_pwd: bytes, file_key: bytes, u: bytes, vsalt: bytes, ksalt: bytes
+) -> tuple[bytes, bytes]:
+    """R5 analog of Algorithm 9 (ADVICE r3): /O + /OE with single-pass
+    sha256(pwd + salt + U[0:48]) — no Algorithm 2.B hardening."""
+    from hashlib import sha256
+
+    o = sha256(owner_pwd + vsalt + u[:48]).digest() + vsalt + ksalt
+    intermediate = sha256(owner_pwd + ksalt + u[:48]).digest()
+    oe = _cbc_encrypt_nopad(intermediate, file_key, b"\x00" * 16)
+    return o, oe
+
+
+def r5_verify_owner_password(pwd: bytes, o: bytes, u: bytes) -> bool:
+    """R5 analog of Algorithm 12: sha256(pwd + vsalt + U[0:48]) == O[0:32]."""
+    from hashlib import sha256
+
+    return sha256(pwd + o[32:40] + u[:48]).digest() == o[:32]
+
+
+def r5_retrieve_file_key_owner(pwd: bytes, o: bytes, oe: bytes, u: bytes) -> bytes:
+    """R5 owner retrieval: decrypt /OE with sha256(pwd + ksalt + U[0:48])."""
+    from hashlib import sha256
+
+    intermediate = sha256(pwd + o[40:48] + u[:48]).digest()
+    return _cbc_decrypt_nopad(intermediate, oe, b"\x00" * 16)
+
+
 def r6_check_perms(file_key: bytes, perms: bytes) -> bool:
     """Algorithm 13: decrypt /Perms and check the 'adb' marker — validates
     a retrieved file key with ONE AES block instead of a second hardened

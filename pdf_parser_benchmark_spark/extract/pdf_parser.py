@@ -329,6 +329,23 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
+# PDFDocEncoding (ISO 32000-1 Annex D.2) equals Latin-1 except these code
+# points; str.translate map applied after a latin-1 decode (ADVICE r3:
+# e.g. byte 0x83 is U+2026 HORIZONTAL ELLIPSIS, not a C1 control).
+# 0x7F/0x9F/0xAD are undefined in PDFDocEncoding and left as-is.
+_PDFDOC_DIVERGENT = {
+    0x18: 0x02D8, 0x19: 0x02C7, 0x1A: 0x02C6, 0x1B: 0x02D9,
+    0x1C: 0x02DD, 0x1D: 0x02DB, 0x1E: 0x02DA, 0x1F: 0x02DC,
+    0x80: 0x2022, 0x81: 0x2020, 0x82: 0x2021, 0x83: 0x2026,
+    0x84: 0x2014, 0x85: 0x2013, 0x86: 0x0192, 0x87: 0x2044,
+    0x88: 0x2039, 0x89: 0x203A, 0x8A: 0x2212, 0x8B: 0x2030,
+    0x8C: 0x201E, 0x8D: 0x201C, 0x8E: 0x201D, 0x8F: 0x2018,
+    0x90: 0x2019, 0x91: 0x201A, 0x92: 0x2122, 0x93: 0xFB01,
+    0x94: 0xFB02, 0x95: 0x0141, 0x96: 0x0152, 0x97: 0x0160,
+    0x98: 0x0178, 0x99: 0x017D, 0x9A: 0x0131, 0x9B: 0x0142,
+    0x9C: 0x0153, 0x9D: 0x0161, 0x9E: 0x017E, 0xA0: 0x20AC,
+}
+
 
 class PdfDocument:
     """Object access: a tolerant full scan discovers every `N G obj`
@@ -580,10 +597,18 @@ class PdfDocument:
                     pdf_crypt.r5_retrieve_file_key,
                     pdf_crypt.r5_verify_user_password,
                 )
+                verify_owner, retrieve_owner = (
+                    pdf_crypt.r5_verify_owner_password,
+                    pdf_crypt.r5_retrieve_file_key_owner,
+                )
             elif r == 6:
                 retrieve, verify = (
                     pdf_crypt.r6_retrieve_file_key,
                     pdf_crypt.r6_verify_user_password,
+                )
+                verify_owner, retrieve_owner = (
+                    pdf_crypt.r6_verify_owner_password,
+                    pdf_crypt.r6_retrieve_file_key_owner,
                 )
             else:
                 raise ValueError(f"unsupported AES-256 revision /R {r}")
@@ -609,15 +634,13 @@ class PdfDocument:
             if (
                 key is None
                 and self._password
-                and r == 6
                 and isinstance(o5, bytes)
                 and isinstance(oe5, bytes)
                 and len(o5) >= 48
-                and pdf_crypt.r6_verify_owner_password(self._password, o5, u)
+                and verify_owner(self._password, o5, u)
             ):
-                key = pdf_crypt.r6_retrieve_file_key_owner(
-                    self._password, o5, oe5, u
-                )  # owner-password flow (Algorithm 12/9)
+                # owner-password flow (Algorithm 12/9; R5 single-pass analog)
+                key = retrieve_owner(self._password, o5, oe5, u)
             if key is None:
                 raise ValueError("encrypted document: user password required")
             self._file_key = key
@@ -761,7 +784,7 @@ class PdfDocument:
                 if v[:2] == b"\xfe\xff":
                     out[k] = v[2:].decode("utf-16-be", "replace")
                 else:
-                    out[k] = v.decode("latin-1")
+                    out[k] = v.decode("latin-1").translate(_PDFDOC_DIVERGENT)
             elif isinstance(v, (str, int, float, bool)):
                 out[k] = str(v)
         return out

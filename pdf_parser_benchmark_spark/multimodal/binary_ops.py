@@ -49,7 +49,7 @@ def _png_decode(payload: bytes) -> np.ndarray:
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, h, ch = 8, None, None, None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
@@ -64,7 +64,7 @@ def _png_decode(payload: bytes) -> np.ndarray:
             idat += data
         elif typ == b"IEND":
             break
-    if w is None or not idat:
+    if w is None or h is None or ch is None or not idat:
         raise ValueError("truncated PNG")
     raw = _z.decompress(bytes(idat))
     stride = w * ch

@@ -588,6 +588,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("cluster")).persist()
     try:
+        changed = -1
         for _ in range(max_iter):
             nbr = sym.join(
                 labels.withColumnRenamed("id", "src"), "src"
@@ -608,6 +609,12 @@ def connected_components(
             labels = new
             if changed == 0:
                 break
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter — an "
+                "unconverged fixpoint must not pass as a result"
+            )
         return labels
     finally:
         sym.unpersist()

@@ -31,7 +31,12 @@ def _info_text(s: str) -> bytes:
     """PDF text-string bytes (§7.9.2.2): PDFDocEncoding (≈Latin-1) when it
     fits, else UTF-16BE with BOM."""
     try:
-        return s.encode("latin-1")
+        raw = s.encode("latin-1")
+        # bytes 0x18-0x1F/0x80-0x9F/0xA0 mean something else in
+        # PDFDocEncoding (Annex D.2) — those strings must go UTF-16BE
+        if any(0x18 <= b <= 0x1F or 0x7F <= b <= 0xA0 for b in raw):
+            raise UnicodeEncodeError("latin-1", s, 0, 1, "PDFDoc-divergent")
+        return raw
     except UnicodeEncodeError:
         return b"\xfe\xff" + s.encode("utf-16-be")
 
@@ -421,15 +426,11 @@ def build_pdf(
             ovs, oks = _md5(id0 + b"ov").digest()[:8], _md5(id0 + b"os").digest()[:8]
             if rev == 5:
                 # legacy revision 5: single-pass SHA-256, no Algorithm 2.B
-                from hashlib import sha256
-
                 u_entry, ue = pdf_crypt.r5_user_entries(
                     file_key, vsalt, ksalt, pwd=user_password
                 )
-                o_entry = sha256(b"owner" + ovs + u_entry[:48]).digest() + ovs + oks
-                oe = pdf_crypt._cbc_encrypt_nopad(
-                    sha256(b"owner" + oks + u_entry[:48]).digest(),
-                    file_key, b"\x00" * 16,
+                o_entry, oe = pdf_crypt.r5_owner_entries(
+                    b"owner", file_key, u_entry, ovs, oks
                 )
             else:
                 u_entry, ue = pdf_crypt.r6_user_entries(

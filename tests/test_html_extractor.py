@@ -109,6 +109,25 @@ def test_colspan_rowspan_grid_expansion():
         ]
 
 
+def test_colspan_run_crossing_rowspan_carry_keeps_carry():
+    """ADVICE r3: a colspan run that crosses a column occupied by a pending
+    rowspan carry must emit the carried cell inside the run, not drop it."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_fast,
+        parse_html_blocks_stdlib,
+    )
+
+    html = ("<table>"
+            '<tr><td>x</td><td rowspan="2">A</td><td>y</td></tr>'
+            '<tr><td colspan="3">E</td></tr></table>')
+    for parse in (parse_html_blocks_stdlib, parse_html_blocks_fast):
+        rows = [b.cells for b in parse(html) if b.tag == "table_row"]
+        assert rows == [
+            ("x", "A", "y"),
+            ("E", "A", "E", "E"),  # carry consumed mid-run, not aged away
+        ]
+
+
 def test_rowspan_zero_and_junk_spans_tolerated():
     from pdf_parser_benchmark_spark.extract.html_extractor import parse_html_blocks
 

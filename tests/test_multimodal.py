@@ -104,6 +104,31 @@ def test_png_from_scratch_decode_exact():
     assert np.allclose(_decode_image_real(data), _grid_features(expect))
 
 
+def test_png_malformed_chunk_order_is_valueerror():
+    """ADVICE r3: IDAT before IHDR (or IHDR absent) must raise ValueError
+    ('truncated PNG'), not NameError from unbound h/ch."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from pdf_parser_benchmark_spark.multimodal.binary_ops import _png_decode
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    no_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG"):
+        _png_decode(no_ihdr)
+
+
 def test_png_gray_and_rgba():
     import numpy as np
 

@@ -388,3 +388,24 @@ def test_connected_components_chain_and_singletons(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """ADVICE r3: a component whose diameter exceeds max_iter must raise,
+    not silently return unconverged labels."""
+    import pytest
+
+    from pdf_parser_benchmark_spark.operators.dedup import connected_components
+
+    n = 8  # path graph 0-1-2-...-7: hash-min needs ~log/diameter rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(nodes, edges, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -109,6 +109,25 @@ def test_unencrypted_info_dict_roundtrip():
     assert PdfDocument(data).info()["/Title"] == "Plain Title"
 
 
+def test_info_pdfdoc_encoding_divergent_bytes():
+    """ADVICE r3: PDFDocEncoding ≠ Latin-1 in 0x18-0x1F / 0x80-0x9F / 0xA0 —
+    e.g. byte 0x83 is U+2026 HORIZONTAL ELLIPSIS and 0x92 is U+2122. Build a
+    raw Info dict with those bytes and check the Annex D.2 mapping."""
+    from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+
+    base = build_pdf(SPECS, info_title="XX", info_gen=0)
+    assert b"(" not in base.split(b"/Title")[1][:4]  # hex-encoded title
+    raw_title = bytes([0x83, 0x84, 0x92, 0x18, 0xA0, 0x41])
+    data = base.replace("XX".encode().hex().encode(), raw_title.hex().encode())
+    assert PdfDocument(data).info()["/Title"] == "…—™˘€A"
+    # and the writer never emits divergent bytes via the latin-1 path
+    from pdf_parser_benchmark_spark.synth.pdf_writer import _info_text
+
+    assert _info_text("\x85ctrl").startswith(b"\xfe\xff")  # C1 → UTF-16BE
+    roundtrip = build_pdf(SPECS, info_title="caf\xe9 …", info_gen=0)
+    assert PdfDocument(roundtrip).info()["/Title"] == "caf\xe9 …"
+
+
 def test_r5_legacy_revision_opens():
     """ADVICE r2: a legacy AES-256 revision-5 file (plain SHA-256, no
     Algorithm 2.B) must open with the empty user password rather than be
@@ -197,10 +216,11 @@ def test_user_password_protected_opens_with_password(mode):
     assert _sig(parse_pdf(data, password=b"s3cret")) == plain
 
 
-@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256"])
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256", "aes256r5"])
 def test_owner_password_opens_user_protected_file(mode):
     """The OWNER password ('owner' in the writer) opens a user-protected
-    file via Algorithm 7 (classic) / Algorithm 12+9 (R6)."""
+    file via Algorithm 7 (classic) / Algorithm 12+9 (R6) / the R5
+    single-pass analog (ADVICE r3)."""
     plain = _sig(parse_pdf(build_pdf(SPECS)))
     data = build_pdf(SPECS, encrypt=mode, user_password=b"s3cret")
     assert _sig(parse_pdf(data, password=b"owner")) == plain
