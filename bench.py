@@ -32,6 +32,7 @@ PAGES_PER_SF = {"0.001": 400, "0.01": 4000, "0.1": 24000}
 HEADLINE = [
     "boilerplate_strip",
     "minhash_neardup",
+    "minhash_neardup_xx",  # production hash lane (xxhash64, VERDICT r3 item 3)
     "dedup_exact",
     "knn_join",
     "ann_ivf_topk",
@@ -141,12 +142,19 @@ def main() -> None:
         spark.catalog.clearCache()
         timings[name] = round(min(cold), 3)
 
-    total = round(sum(timings.values()), 3)
+    # round-over-round continuity (VERDICT r3 item 1): r1/r2 headline was
+    # effectively warm, r3's switched to cold and read as a regression.
+    # Emit BOTH totals; `value` stays the warm lane.
+    value_cold = round(sum(timings.values()), 3)
+    value_warm = round(timings["extract"] + sum(warm_timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query wall time (extract + 10 operators)",
-                "value": total,
+                "metric": "headline query wall time (extract + operators, warm lane; "
+                          "value_cold = intermediates released)",
+                "value": value_warm,
+                "value_warm": value_warm,
+                "value_cold": value_cold,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1154,6 +1154,19 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
+@query("minhash_neardup_xx")  # oracle: pinned (DuckDB has no xxhash64)
+def q_minhash_neardup_xx(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-hash lane of minhash_neardup (VERDICT r3 item 3): same
+    pipeline with hash_fn='xxhash64' — JVM-native 64-bit hashing instead of
+    the md5 hex-prefix lane kept for ANSI-SQL oracle reproducibility. This
+    is the number a 100 TB run pays; the exact-Jaccard verify stage makes
+    the final pairs insensitive to which candidate hash found them."""
+    docs = _t(spark, sf, "documents")
+    return DD.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7, hash_fn="xxhash64"
+    )
+
+
 # 60-bit SimHash twin: per distinct word take 60 bits of md5 (hex-prefix →
 # BIGINT, same construction as Spark's conv(substr(md5,1,15),16,10)); per
 # bit position sum ±1; sign → fingerprint bit
@@ -2646,6 +2659,7 @@ _DRIVER_WINDOW_FIRST = [
     # high-value keepers from the r1-r3 window (dedup/ANN/streaming + once-red)
     "dedup_exact",
     "minhash_neardup",
+    "minhash_neardup_xx",
     "simhash_neardup",
     "jaccard_neardup",
     "dedup_clusters",
@@ -2659,7 +2673,6 @@ _DRIVER_WINDOW_FIRST = [
     "summary_agg",
     "fuzzy_title_join",
     "stratified_sample",
-    "snapshot_diff",
 ]
 
 
