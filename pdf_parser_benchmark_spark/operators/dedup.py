@@ -619,3 +619,85 @@ def connected_components(
     finally:
         sym.unpersist()
         _LIVE_INTERMEDIATES.append(labels)  # released after materialization
+
+
+def connected_components_two_phase(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Same contract as connected_components — (id) + (id_a, id_b) →
+    (id, cluster = min reachable id) — via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", ACM SoCC'14, public algorithm). Converges in O(log² n)
+    rounds on ANY graph, so a path-shaped duplicate chain of length 10⁶
+    that defeats diameter-bounded hash-min propagation still terminates.
+
+    Scale shape: no adjacency lists are ever materialized — per-node mins
+    come from groupBy, neighbors re-join against them — so each round
+    shuffles only the edge list and (node, min) pairs. Convergence is an
+    edge-multiset digest (count + bit_xor of xxhash64), one tiny collect
+    per round. Each round's edge set is localCheckpoint-ed: iterative
+    plans otherwise grow multiplicatively and the analyzer, not the
+    executors, becomes the bottleneck (a cluster job pre-empting executor
+    loss would use reliable checkpoint(dir) instead, same call site).
+
+    large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+    small-star(u): key edges on the larger endpoint; attach its smaller
+    neighbors and u itself to m = min(N(u) ∪ {u})
+    Fixpoint: every edge is (child, component-min) — a depth-1 star."""
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        big = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mn2 = big.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            big.join(mn2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        digest = tuple(
+            small.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).collect()[0]
+        )
+        e = small
+        if digest == prev:
+            converged = True
+            break
+        prev = digest
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} "
+            "rounds; raise max_iter — an unconverged fixpoint must not pass "
+            "as a result"
+        )
+    # at the fixpoint every edge is (child, root); roots and isolated
+    # nodes label themselves
+    parents = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("p"))
+    return (
+        nodes.select("id")
+        .join(parents, "id", "left")
+        .select("id", F.coalesce("p", F.col("id")).alias("cluster"))
+    )

