@@ -117,6 +117,60 @@ def main() -> None:
             "docs_per_sec": round(n_cls / dt, 1),
         }
 
+    # honest-scale ANN lane (VERDICT r3 item 7): recall + wall time over a
+    # 100k-vector clustered corpus with planted ground-truth neighbors
+    # (corpus parquet cached in /tmp across rounds; see synth/vectors.py)
+    from pdf_parser_benchmark_spark.operators.knn import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+        pq_topk,
+    )
+    from pdf_parser_benchmark_spark.synth.vectors import (
+        ensure_vector_corpus,
+        planted_queries_df,
+    )
+
+    AN, AD, AC, AK, ANQ = 100_000, 64, 16, 10, 20
+    vec_corpus = spark.read.parquet(
+        ensure_vector_corpus(spark, AN, dim=AD, n_clusters=AC, planted_queries=ANQ)
+    )
+    vec_queries = planted_queries_df(spark, ANQ, dim=AD, n_clusters=AC).persist()
+    t0 = time.monotonic()
+    exact10 = (
+        brute_force_topk(vec_queries, vec_corpus, k=AK)
+        .select("qid", "vec_id")
+        .persist()
+    )
+    exact10.count()
+    t_brute = time.monotonic() - t0
+
+    def _recall_of(approx) -> float:
+        hits = exact10.join(approx, ["qid", "vec_id"], "left_semi").count()
+        return round(hits / (ANQ * AK), 3)
+
+    t0 = time.monotonic()
+    ivf10 = ivf_topk_kmeans(
+        vec_queries, vec_corpus, k=AK, nprobe=4, n_lists=AC, iterations=4
+    ).select("qid", "vec_id")
+    ivf_recall = _recall_of(ivf10)
+    t_ivf = time.monotonic() - t0
+    t0 = time.monotonic()
+    pq10 = pq_topk(
+        vec_queries, vec_corpus, k=AK, m=8, dim=AD, codes=16, rerank=50
+    ).select("qid", "vec_id")
+    pq_recall = _recall_of(pq10)
+    t_pq = time.monotonic() - t0
+    ann_100k = {
+        "n": AN,
+        "brute_force_sec": round(t_brute, 3),
+        "ivf_nprobe4_sec": round(t_ivf, 3),
+        "ivf_recall_at_10": ivf_recall,
+        "pq_rerank_sec": round(t_pq, 3),
+        "pq_recall_at_10": pq_recall,
+    }
+    exact10.unpersist()
+    vec_queries.unpersist()
+
     from pdf_parser_benchmark_spark.operators.dedup import release_intermediates
 
     # two lanes per query (this VM shows ±30% trial noise, so cold is a
@@ -162,6 +216,7 @@ def main() -> None:
                 "extract_docs_per_sec": round(n_docs / t_extract, 1),
                 "extract_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
                 "extract_by_class": extract_by_class,
+                "ann_100k": ann_100k,
                 "queries_warm": warm_timings,
                 "corpus_version": CORPUS_VERSION,
                 "cpus": CPUS,

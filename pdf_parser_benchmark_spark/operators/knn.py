@@ -223,12 +223,19 @@ def pq_topk(
     query_vec: str = "qvec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    rerank: int = 0,
 ) -> DataFrame:
     """PQ top-k via asymmetric distance computation (ADC): per query build
     the m×codes subspace-distance table (broadcast — m·codes rows per
     query), join it to the exploded code stream, sum per (query, vector).
     The corpus side never ships vectors — only (id, subspace, code) — which
-    is the whole point at 10^12 vectors."""
+    is the whole point at 10^12 vectors.
+
+    rerank > k: keep the top `rerank` ADC candidates per query, fetch only
+    those candidates' full vectors (semi-join — Q·rerank rows, never the
+    corpus), score exact cosine, return the exact top k. This is the
+    standard two-stage PQ search (coarse ADC recall set → exact re-rank);
+    output schema becomes (qid, vec_id, score, rank) like the exact paths."""
     sub = dim // m
     cb, enc = pq_fit(corpus, corpus_id, corpus_vec, m=m, dim=dim, k=codes,
                      iterations=iterations)
@@ -268,11 +275,31 @@ def pq_topk(
         .agg(F.round(F.sum("d2"), 6).alias("adc"))
     )
     w = Window.partitionBy(query_id).orderBy(F.asc("adc"), F.asc("pqid"))
-    return (
+    if rerank <= k:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id, F.col("pqid").alias(corpus_id), "adc",
+                    F.col("rn").alias("rank"))
+        )
+    cands = (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select(query_id, F.col("pqid").alias(corpus_id))
+    )
+    pool = corpus.join(
+        F.broadcast(cands), corpus_id
+    ).join(
+        F.broadcast(queries.select(query_id, query_vec)), query_id
+    )
+    exact = pool.withColumn(
+        "score", cosine_rounded(F.col(query_vec), F.col(corpus_vec))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
-        .select(query_id, F.col("pqid").alias(corpus_id), "adc",
-                F.col("rn").alias("rank"))
+        .select(query_id, corpus_id, "score", F.col("rn").alias("rank"))
     )
 
 
