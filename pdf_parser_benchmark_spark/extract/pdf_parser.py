@@ -877,6 +877,30 @@ class PdfDocument:
         walk(root.get("/Pages"), {})
         return out
 
+    def uri_links(self) -> list[tuple[int, str]]:
+        """(page_index, uri) for every /Subtype /Link annotation with a
+        /URI action (§12.5.6.5 + §12.6.4.8), in page/annotation order —
+        the PDF twin of the HTML link-graph extraction. URI byte strings
+        decode like /Info text (UTF-16BE with BOM, else PDFDocEncoding)."""
+        out: list[tuple[int, str]] = []
+        for idx, page in enumerate(self.pages()):
+            for aref in self.resolve(page.get("/Annots")) or []:
+                annot = self.resolve(aref)
+                if not isinstance(annot, dict) or annot.get("/Subtype") != "/Link":
+                    continue
+                action = self.resolve(annot.get("/A"))
+                if not isinstance(action, dict) or action.get("/S") != "/URI":
+                    continue
+                uri = self.resolve(action.get("/URI"))
+                if isinstance(uri, bytes):
+                    if uri[:2] == b"\xfe\xff":
+                        out.append((idx, uri[2:].decode("utf-16-be", "replace")))
+                    else:
+                        out.append(
+                            (idx, uri.decode("latin-1").translate(_PDFDOC_DIVERGENT))
+                        )
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Fonts / ToUnicode CMap

@@ -80,6 +80,104 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide exact paragraph dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr idea at
+# paragraph granularity, the form production pipelines actually deploy)
+# ---------------------------------------------------------------------------
+
+def duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """→ (para, n_docs, n_occurrences, keep_id, keep_pos): every non-empty
+    paragraph (split on `sep`, trimmed) that occurs in ≥ min_docs distinct
+    documents, with the deterministic keeper occurrence = lowest (id, pos).
+
+    Scale shape: posexplode streams (id, pos, para) once; the groupBy keys
+    on the paragraph string itself (Spark hash-partitions it — at 10^12
+    docs swap the key for xxhash64(para) and keep one exemplar via min) —
+    only paragraph-sized rows shuffle, never document bodies, and the
+    aggregation is map-side partial."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("para", F.trim("para")).filter(F.col("para") != "")
+    return (
+        paras.groupBy("para")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("keep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "para",
+            "n_docs",
+            "n_occurrences",
+            F.col("keep.id").alias("keep_id"),
+            F.col("keep.pos").alias("keep_pos"),
+        )
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """→ (id, text, n_dropped): rebuild each document keeping, for every
+    corpus-duplicated paragraph, ONLY the keeper occurrence (lowest
+    (id, pos)) — all other occurrences are dropped; unique paragraphs and
+    blank lines pass through untouched.
+
+    The drop-list join ships (id, pos) pairs only; the rebuild is an
+    in-row array filter over the original split, so document text is
+    neither exploded back nor shuffled."""
+    dups = duplicate_paragraphs(df, id_col, text_col, min_docs, sep)
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("tp", F.trim("para")).filter(F.col("tp") != "")
+    drops = (
+        paras.join(dups, paras["tp"] == dups["para"])
+        .filter(
+            (F.col("id") != F.col("keep_id")) | (F.col("pos") != F.col("keep_pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("drop_pos"))
+    )
+    rebuilt = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .join(drops, "id", "left")
+        .select(
+            "id",
+            F.concat_ws(
+                sep,
+                F.filter(
+                    F.zip_with(
+                        F.split(F.col("t"), sep),
+                        F.sequence(
+                            F.lit(0), F.size(F.split(F.col("t"), sep)) - 1
+                        ),
+                        lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+                    ),
+                    lambda s: ~F.coalesce(
+                        F.array_contains(F.col("drop_pos"), s["i"]), F.lit(False)
+                    ),
+                ).getField("p"),
+            ).alias("text"),
+            F.coalesce(F.size("drop_pos"), F.lit(0)).alias("n_dropped"),
+        )
+    )
+    return rebuilt
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -1254,6 +1254,88 @@ reach(a, b) AS (
 SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a"""
 
 
+# multi-line page text + indexed non-empty paragraphs, shared by the
+# paragraph-dedup twins (mirrors _pages_df exactly; trim is ASCII-space on
+# both engines, so the NBSP-edged header survives as its own paragraph)
+_PARA_SQL = """pp AS (
+  SELECT doc_id AS id,
+         chr(160) || 'HDR ' || source || chr(160) || chr(10) || text ||
+         chr(10) || 'FTR ' || source AS ptext
+  FROM documents
+),
+paras AS (
+  SELECT id,
+         generate_subscripts(string_split(ptext, chr(10)), 1) - 1 AS pos,
+         trim(unnest(string_split(ptext, chr(10))), ' ') AS para
+  FROM pp
+),
+p AS (SELECT * FROM paras WHERE para <> ''),
+agg AS (
+  SELECT para, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences,
+         min(id) AS keep_id
+  FROM p GROUP BY para
+),
+kp AS (
+  SELECT p.para, CAST(min(p.pos) AS INT) AS keep_pos
+  FROM p JOIN agg ON p.para = agg.para AND p.id = agg.keep_id
+  GROUP BY p.para
+),
+dup AS (
+  SELECT agg.para, n_docs, n_occurrences, keep_id, keep_pos
+  FROM agg JOIN kp USING (para) WHERE n_docs >= 2
+)"""
+
+
+@query(
+    "dup_paragraphs",
+    f"WITH {_PARA_SQL} SELECT para, n_docs, n_occurrences, keep_id, keep_pos FROM dup",
+)
+def q_dup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, detection half (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better' — paragraph
+    granularity): every paragraph occurring in ≥2 documents with its
+    deterministic keeper occurrence (lowest (id, pos))."""
+    pages = _pages_df(spark, sf).select(
+        F.col("page").alias("id"), F.col("ptext")
+    )
+    out = DD.duplicate_paragraphs(pages, "id", "ptext", min_docs=2)
+    return out.withColumn("keep_pos", F.col("keep_pos").cast("int"))
+
+
+@query(
+    "strip_dup_paragraphs",
+    f"""WITH {_PARA_SQL},
+drops AS (
+  SELECT p.id, p.pos
+  FROM p JOIN dup USING (para)
+  WHERE NOT (p.id = dup.keep_id AND p.pos = dup.keep_pos)
+),
+dl AS (SELECT id, list(pos ORDER BY pos) AS drop_pos FROM drops GROUP BY id)
+SELECT pp.id,
+       array_to_string(
+         list_transform(
+           list_filter(
+             list_zip(string_split(pp.ptext, chr(10)),
+                      generate_series(0, len(string_split(pp.ptext, chr(10))) - 1)),
+             z -> NOT coalesce(list_contains(dl.drop_pos, z[2]), FALSE)
+           ),
+           z -> z[1]
+         ), chr(10)) AS text,
+       CAST(coalesce(len(dl.drop_pos), 0) AS BIGINT) AS n_dropped
+FROM pp LEFT JOIN dl USING (id)""",
+)
+def q_strip_dup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Removal half: rebuild every document keeping only the keeper
+    occurrence of each corpus-duplicated paragraph. The drop-list join
+    ships (id, pos) pairs only; the rebuild is an in-row array filter —
+    document bodies are never exploded back or shuffled."""
+    pages = _pages_df(spark, sf).select(
+        F.col("page").alias("id"), F.col("ptext")
+    )
+    out = DD.strip_duplicate_paragraphs(pages, "id", "ptext", min_docs=2)
+    return out.withColumn("n_dropped", F.col("n_dropped").cast("bigint"))
+
+
 @query("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the blocked
@@ -1731,6 +1813,68 @@ def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return pages.mapInPandas(gen, "doc_id long, noindex boolean")
+
+
+@query(
+    "pdf_link_graph",
+    """SELECT doc_id, page, pos, uri FROM (
+  SELECT doc_id, 0 AS page, 0 AS pos,
+         'https://h' || (doc_id % 7) || '.example/a/' || doc_id AS uri
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 0, 1,
+         'https://h' || ((doc_id * 3) % 7) || '.example/b/' || doc_id
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 2,
+         'https://h' || ((doc_id + 1) % 7) || '.example/c/' || doc_id
+  FROM documents
+) t""",
+)
+def q_pdf_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF twin of q:link_graph: per doc a REAL two-page PDF is written
+    with /Link annotations carrying /URI actions (§12.5.6.5), then parsed
+    back and the links mined via PdfDocument.uri_links() — write → parse →
+    annotation-tree walk end-to-end per row. The oracle states the
+    expected (doc_id, page, pos, uri) rows directly. Feeds the same
+    host-in-degree analysis as the HTML link graph, so hub detection
+    covers both document classes."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+        from pdf_parser_benchmark_spark.synth.pdf_writer import (
+            PageSpec,
+            TextItem,
+            build_pdf,
+        )
+
+        for b in batches:
+            rows = []
+            for d in b["doc_id"]:
+                d = int(d)
+                data = build_pdf([
+                    PageSpec(
+                        items=[TextItem(50, 700, f"doc {d} p1")],
+                        links=[
+                            f"https://h{d % 7}.example/a/{d}",
+                            f"https://h{(d * 3) % 7}.example/b/{d}",
+                        ],
+                    ),
+                    PageSpec(
+                        items=[TextItem(50, 700, f"doc {d} p2")],
+                        links=[f"https://h{(d + 1) % 7}.example/c/{d}"],
+                    ),
+                ])
+                for pos, (page, uri) in enumerate(PdfDocument(data).uri_links()):
+                    rows.append(
+                        {"doc_id": d, "page": page, "pos": pos, "uri": uri}
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, "doc_id long, page int, pos int, uri string")
 
 
 @query(
@@ -2679,10 +2823,10 @@ _DRIVER_WINDOW_FIRST = [
     "jaccard_neardup",
     "dedup_clusters",
     "dedup_clusters_2p",
+    "dup_paragraphs",
+    "strip_dup_paragraphs",
+    "pdf_link_graph",
     "embedding_neardup_rh",
-    "topk_cosine",
-    "ann_ivf_topk",
-    "pq_topk",
     "ivf_recall",
     "sessionize",
     "windowed_event_counts",

@@ -62,6 +62,7 @@ class PageSpec:
     use_tj_array: bool = False  # emit TJ [(..) kern (..)] instead of Tj
     use_tm: bool = False  # position via Tm instead of Td
     form_items: list[TextItem] = field(default_factory=list)  # via /Do XObject
+    links: list[str] = field(default_factory=list)  # /Annots URI actions
 
 
 # F2's single-byte code -> unicode map (forces the CMap decode path; includes
@@ -305,18 +306,39 @@ def build_pdf(
             body = b"<< /Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
         content_nums.append(add(body))
 
+    # /Link annotations with /URI actions (§12.5.6.5); string-sealing under
+    # encryption covers streams + /Info only, so link fixtures stay classic
+    # unencrypted files
+    annot_nums: list[list[int]] = []
+    for p in pages:
+        assert not (p.links and encrypt), "link fixtures are unencrypted"
+        nums = []
+        for i, uri in enumerate(p.links):
+            esc = uri.encode("ascii").replace(b"\\", rb"\\").replace(
+                b"(", rb"\("
+            ).replace(b")", rb"\)")
+            nums.append(add(
+                b"<< /Type /Annot /Subtype /Link /Rect [%d %d %d %d] "
+                b"/Border [0 0 0] /A << /S /URI /URI (%s) >> >>"
+                % (36, 700 - 20 * i, 200, 716 - 20 * i, esc)
+            ))
+        annot_nums.append(nums)
+
     # reserve numbers: pages tree node, then one page object per page
     pages_num = len(objects) + 1 + len(pages)  # page objs first, tree after
     page_nums: list[int] = []
-    for p, c, fx in zip(pages, content_nums, form_nums):
+    for p, c, fx, an in zip(pages, content_nums, form_nums, annot_nums):
         xobj = b" /XObject << /X1 %d 0 R >>" % fx if fx else b""
+        annots = (
+            b" /Annots [%s]" % b" ".join(b"%d 0 R" % n for n in an) if an else b""
+        )
         body = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
             b"/Rotate %d /Resources << /Font << /F1 %d 0 R /F2 %d 0 R "
-            b"/F3 %d 0 R /F4 %d 0 R >>%s >> "
+            b"/F3 %d 0 R /F4 %d 0 R >>%s >>%s "
             b"/Contents %d 0 R >>"
             % (pages_num, PAGE_W, PAGE_H, p.rotate, f1_num, f2_num, f3_num,
-               f4_num, xobj, c)
+               f4_num, xobj, annots, c)
         )
         page_nums.append(add(body))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)

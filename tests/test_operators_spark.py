@@ -411,6 +411,36 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_paragraph_dedup_keeper_and_rebuild(spark):
+    """Corpus-wide exact paragraph dedup (Lee et al. 2021 shape): the
+    lowest (id, pos) occurrence of a duplicated paragraph survives, all
+    others are dropped, unique paragraphs pass through, and per-doc
+    n_dropped counts the removals."""
+    from pdf_parser_benchmark_spark.operators.dedup import (
+        duplicate_paragraphs,
+        strip_duplicate_paragraphs,
+    )
+
+    rows = [
+        (1, "SAME\nunique one\nSAME"),
+        (2, "unique two\nSAME"),
+        (3, "all original\nlines here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    dups = duplicate_paragraphs(df, "id", "text").collect()
+    assert len(dups) == 1
+    d = dups[0]
+    assert (d["para"], d["n_docs"], d["n_occurrences"]) == ("SAME", 2, 3)
+    assert (d["keep_id"], d["keep_pos"]) == (1, 0)
+
+    out = {r["id"]: (r["text"], r["n_dropped"])
+           for r in strip_duplicate_paragraphs(df, "id", "text").collect()}
+    assert out[1] == ("SAME\nunique one", 1)   # pos-2 copy dropped
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("all original\nlines here", 0)
+
+
 def test_two_phase_cc_long_chain_and_equivalence(spark):
     """VERDICT r3 item 6: small-star/large-star converges in O(log² n)
     rounds on a 64-hop duplicate chain — a shape where hash-min needs >5

@@ -176,3 +176,31 @@ def test_two_short_cjk_items_not_merged():
     pages = parse_pdf(build_pdf([PageSpec(items=items)]))
     lines = [ln for b in pages[0].blocks for ln in b.lines]
     assert "学习" not in lines
+
+
+def test_uri_link_annotations_roundtrip():
+    """/Link annotations with /URI actions round-trip through write→parse
+    in both classic-xref and xref-stream layouts, in page/annot order,
+    with ()\\ escaping; pages without /Annots yield nothing."""
+    from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+    from pdf_parser_benchmark_spark.synth.pdf_writer import (
+        PageSpec,
+        TextItem,
+        build_pdf,
+    )
+
+    specs = [
+        PageSpec(items=[TextItem(50, 700, "p1")],
+                 links=["https://a.ex/x", "https://b.ex/y(z)\\w"]),
+        PageSpec(items=[TextItem(50, 700, "plain")]),
+        PageSpec(items=[TextItem(50, 700, "p3")], links=["https://c.ex/"]),
+    ]
+    expect = [
+        (0, "https://a.ex/x"),
+        (0, "https://b.ex/y(z)\\w"),
+        (2, "https://c.ex/"),
+    ]
+    assert PdfDocument(build_pdf(specs)).uri_links() == expect
+    assert PdfDocument(build_pdf(specs, use_xref_stream=True)).uri_links() == expect
+    # the no-links writer path is byte-identical to before (goldens hold)
+    assert b"/Annots" not in build_pdf([PageSpec(items=[TextItem(50, 700, "x")])])
