@@ -114,6 +114,68 @@ def mean_word_len(col: Column) -> Column:
     return F.round(total / F.greatest(F.size(words), F.lit(1)), 6)
 
 
+# Gopher rule-set stop list (Rae et al. 2021, Table A1 — public paper)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """The document-level signals of the Gopher quality rules (Rae et al.
+    2021, Table A1), deterministic arithmetic only (oracle-able). Returned
+    unrounded — round ONCE at output; rule comparisons use the raw values
+    on both engines so boundary rounding can never flip a flag."""
+    words = F.split(F.trim(col), r"\s+")
+    lwords = F.split(F.lower(F.trim(col)), r"\s+")
+    n_words = F.size(words)
+    total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = total_len / F.greatest(n_words, F.lit(1))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha / F.greatest(n_words, F.lit(1))
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(col, F.lit(r"\.\.\.|…"), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            lambda s: F.array_contains(lwords, s),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "n_stop": n_stop,
+    }
+
+
+def gopher_keep(
+    col: Column, min_words: int = 50, min_stop: int = 2
+) -> tuple[Column, Column]:
+    """→ (keep boolean, fail_reason string|NULL): the Gopher rule gate —
+    word count in [min_words, 100000], mean word length in [3, 10],
+    symbol-to-word ratio < 0.1, ≥80% of words contain an alphabetic
+    character, ≥min_stop distinct stop words present. Paper defaults are
+    (50, 2) for natural web text; thresholds are parameters because the
+    right values are corpus-dependent (Gopher itself tuned them per
+    source). fail_reason names the FIRST failed rule in documented order
+    (a real pipeline logs why a doc was dropped)."""
+    s = gopher_signals(col)
+    checks = [
+        ("word_count", (s["n_words"] >= min_words) & (s["n_words"] <= 100000)),
+        ("mean_word_len", (s["mean_word_len"] >= 3) & (s["mean_word_len"] <= 10)),
+        ("symbol_ratio", s["symbol_ratio"] < 0.1),
+        ("alpha_frac", s["alpha_frac"] > 0.8),
+        ("stop_words", s["n_stop"] >= min_stop),
+    ]
+    keep = F.lit(True)
+    for _, ok in checks:
+        keep = keep & ok
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(checks):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    return keep, reason
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence −
     punctuation noise. Deterministic arithmetic only (oracle-able)."""

@@ -1551,6 +1551,106 @@ def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "gopher_rules",
+    r"""WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS words,
+         string_split_regex(lower(trim(text)), '\s+') AS lwords
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> len(x)))
+           / greatest(len(words), 1)::DOUBLE AS mean_wl,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           / greatest(len(words), 1)::DOUBLE AS alpha_frac,
+         ((len(text) - len(replace(text, '#', '')))
+          + len(regexp_extract_all(text, '\.\.\.|…')))
+           / greatest(len(words), 1)::DOUBLE AS symbol_ratio,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         x -> list_contains(lwords, x))) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       n_stop,
+       (n_words BETWEEN 30 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+         AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stop >= 1 AS keep,
+       CASE
+         WHEN NOT (n_words BETWEEN 30 AND 100000) THEN 'word_count'
+         WHEN NOT (mean_wl BETWEEN 3 AND 10) THEN 'mean_word_len'
+         WHEN NOT (symbol_ratio < 0.1) THEN 'symbol_ratio'
+         WHEN NOT (alpha_frac > 0.8) THEN 'alpha_frac'
+         WHEN NOT (n_stop >= 1) THEN 'stop_words'
+         ELSE NULL
+       END AS fail_reason
+FROM s""",
+)
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Full Gopher rule gate (Rae et al. 2021, Table A1): per-doc signals,
+    the keep/drop decision, and the FIRST failed rule as the drop reason —
+    the audit trail a production filter stage emits. Thresholds here are
+    corpus-scaled (min_words=30, min_stop=1 — the synthetic vocabulary
+    carries only 'the' from the Gopher stop list) so the flag genuinely
+    varies; paper defaults are the function's defaults. Comparisons run on
+    unrounded values on both engines; rounding happens once at output."""
+    docs = _t(spark, sf, "documents")
+    s = TXT.gopher_signals(F.col("text"))
+    keep, reason = TXT.gopher_keep(F.col("text"), min_words=30, min_stop=1)
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["alpha_frac"], 6).alias("alpha_frac"),
+        F.round(s["symbol_ratio"], 6).alias("symbol_ratio"),
+        s["n_stop"].alias("n_stop"),
+        keep.alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+@query(
+    "crawl_frontier",
+    """WITH u AS (
+  SELECT doc_id,
+         'h' || (doc_id % 7) || '.example' AS host,
+         CAST(doc_id % 13 AS BIGINT) AS priority
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host, priority,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority, doc_id) - 1 AS INT)
+           AS fetch_round
+  FROM u
+)
+SELECT doc_id, host, priority, fetch_round
+FROM r WHERE fetch_round < 3""",
+)
+def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: one fetch per host per round
+    (the per-host rate cap every crawler enforces), highest-priority URLs
+    first, next-3-rounds window emitted. Pure window algebra — per-host
+    row_number assigns the round, so scheduling 10^12 URLs is one shuffle
+    on host; no driver-side queue exists."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    u = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.col("doc_id") % 13).cast("bigint").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        u.withColumn("fetch_round", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("fetch_round") < 3)
+    )
+
+
+@query(
     "repetition_signals",
     r"""WITH w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
@@ -2820,12 +2920,13 @@ _DRIVER_WINDOW_FIRST = [
     "minhash_neardup",
     "minhash_neardup_xx",
     "simhash_neardup",
-    "jaccard_neardup",
     "dedup_clusters",
     "dedup_clusters_2p",
     "dup_paragraphs",
     "strip_dup_paragraphs",
     "pdf_link_graph",
+    "gopher_rules",
+    "crawl_frontier",
     "embedding_neardup_rh",
     "ivf_recall",
     "sessionize",
