@@ -224,6 +224,8 @@ def pq_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     rerank: int = 0,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ top-k via asymmetric distance computation (ADC): per query build
     the m×codes subspace-distance table (broadcast — m·codes rows per
@@ -235,10 +237,20 @@ def pq_topk(
     those candidates' full vectors (semi-join — Q·rerank rows, never the
     corpus), score exact cosine, return the exact top k. This is the
     standard two-stage PQ search (coarse ADC recall set → exact re-rank);
-    output schema becomes (qid, vec_id, score, rank) like the exact paths."""
+    output schema becomes (qid, vec_id, score, rank) like the exact paths.
+
+    codebooks/encoded: pass pq_fit's outputs to SKIP the in-call fit — the
+    production shape trains once, persists (cb is m·codes tiny rows, enc is
+    m bytes/vector), and serves every query batch from the stored index; a
+    10^12-vector corpus is encoded exactly once."""
     sub = dim // m
-    cb, enc = pq_fit(corpus, corpus_id, corpus_vec, m=m, dim=dim, k=codes,
-                     iterations=iterations)
+    if (codebooks is None) != (encoded is None):
+        raise ValueError("pass codebooks and encoded together")
+    if codebooks is None:
+        cb, enc = pq_fit(corpus, corpus_id, corpus_vec, m=m, dim=dim,
+                         k=codes, iterations=iterations)
+    else:
+        cb, enc = codebooks, encoded
     qsub = queries.select(
         query_id,
         F.explode(

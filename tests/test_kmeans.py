@@ -73,3 +73,32 @@ def test_ivf_kmeans_topk_subset_of_bruteforce_corpus(spark, emb):
     assert len(out) == 6  # 2 queries × top-3
     for r in out:
         assert r["vec_id"] >= 2 and 1 <= r["rank"] <= 3
+
+
+def test_pq_pretrained_index_matches_inline_fit(spark):
+    """Production shape (ROADMAP): pq_fit once, persist codebooks+codes,
+    serve query batches from the stored index — results are identical to
+    the fit-inside-the-call path, including through the re-rank stage."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.operators.knn import pq_fit, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+
+    cb, enc = pq_fit(corpus, m=4, dim=64, k=16)
+    cb, enc = cb.persist(), enc.persist()
+    for rerank in (0, 20):
+        inline = pq_topk(queries, corpus, k=5, m=4, dim=64, rerank=rerank)
+        stored = pq_topk(queries, corpus, k=5, m=4, dim=64, rerank=rerank,
+                         codebooks=cb, encoded=enc)
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, stored.collect())
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="together"):
+        pq_topk(queries, corpus, codebooks=cb)
