@@ -1612,6 +1612,90 @@ def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# unicode block ranges as literal-char regex classes — identical byte-for-
+# byte in Spark (Java regex) and the DuckDB oracle (RE2): both accept
+# literal UTF-8 range endpoints inside a class
+_SCRIPT_CLASSES = (
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("latin", "[A-Za-z]"),
+)
+_SCRIPT_SNIPPETS = ("", " 中文数据处理流程", " обработка данных", " επεξεργασία δεδομένων")
+
+
+@query(
+    "script_detect",
+    f"""WITH t AS (
+  SELECT doc_id,
+         text || repeat(CASE doc_id % 4
+           WHEN 1 THEN '{_SCRIPT_SNIPPETS[1]}'
+           WHEN 2 THEN '{_SCRIPT_SNIPPETS[2]}'
+           WHEN 3 THEN '{_SCRIPT_SNIPPETS[3]}'
+           ELSE '' END, (doc_id % 60)::INT) AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         {", ".join(f"len(regexp_extract_all(text, '{cls}')) AS n_{name}" for name, cls in _SCRIPT_CLASSES)}
+  FROM t
+)
+SELECT doc_id, n_cjk, n_cyrillic, n_greek, n_latin,
+       CASE
+         WHEN n_cjk > n_latin AND n_cjk >= n_cyrillic AND n_cjk >= n_greek THEN 'cjk'
+         WHEN n_cyrillic > n_latin AND n_cyrillic >= n_greek THEN 'cyrillic'
+         WHEN n_greek > n_latin THEN 'greek'
+         ELSE 'latin'
+       END AS dominant
+FROM c""",
+)
+def q_script_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script detection (writing-system stats a multilingual corpus
+    pipeline tracks before language ID): per-doc character counts for the
+    CJK/Cyrillic/Greek/Latin blocks plus the dominant script. Mixed-script
+    text is synthesized in-query with per-doc varying repeat counts (the
+    base corpus is ASCII and the dominance decision must genuinely flip);
+    the regex
+    classes are the same literal-range byte sequences in Spark (Java) and
+    the oracle (RE2). Ties break toward 'latin' (the base text)."""
+    docs = _t(spark, sf, "documents")
+    snippet = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(snippet, (F.col("doc_id") % 60).cast("int")),
+        ).alias("text"),
+    )
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(cls), 0)).alias(f"n_{name}")
+        for name, cls in _SCRIPT_CLASSES
+    ]
+    c = t.select("doc_id", *counts)
+    dominant = (
+        F.when(
+            (F.col("n_cjk") > F.col("n_latin"))
+            & (F.col("n_cjk") >= F.col("n_cyrillic"))
+            & (F.col("n_cjk") >= F.col("n_greek")),
+            F.lit("cjk"),
+        )
+        .when(
+            (F.col("n_cyrillic") > F.col("n_latin"))
+            & (F.col("n_cyrillic") >= F.col("n_greek")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_greek") > F.col("n_latin"), F.lit("greek"))
+        .otherwise(F.lit("latin"))
+    )
+    return c.select(
+        "doc_id", "n_cjk", "n_cyrillic", "n_greek", "n_latin",
+        dominant.alias("dominant"),
+    )
+
+
 @query(
     "crawl_frontier",
     """WITH u AS (
@@ -2927,6 +3011,7 @@ _DRIVER_WINDOW_FIRST = [
     "pdf_link_graph",
     "gopher_rules",
     "crawl_frontier",
+    "script_detect",
     "embedding_neardup_rh",
     "ivf_recall",
     "sessionize",
