@@ -1,0 +1,108 @@
+"""robots.txt parsing and path matching (RFC 9309, public spec) — the
+crawl-exclusion layer of a web-corpus pipeline. The meta-robots surface
+(`html_extractor.robots_noindex`, q:robots_filter) covers page-level
+directives; this module covers the site-level protocol: group selection by
+user-agent product token, longest-match rule precedence, `*` wildcards and
+the `$` end anchor.
+
+From scratch on stdlib only (urllib.robotparser exists but predates RFC
+9309's wildcard/longest-match rules; rolling our own keeps the semantics
+pinned and testable). Reference analog: the pipeline's ingest respects the
+same exclusions fitz/LLMSherpa-era scrapers had to
+(/root/reference/docs/PRD.md mentions sourcing constraints).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RobotsGroup:
+    agents: list[str] = field(default_factory=list)  # lowercased tokens
+    # (allow, raw_pattern, compiled_regex, pattern_len)
+    rules: list[tuple[bool, str, "re.Pattern[str]", int]] = field(
+        default_factory=list
+    )
+
+
+def _compile_path(pattern: str) -> "re.Pattern[str]":
+    """RFC 9309 path pattern → anchored regex: `*` matches any octets,
+    a TRAILING `$` anchors the end; everything else is literal. The match
+    is a prefix match (regex anchored at start only, unless $)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [re.escape(p) for p in body.split("*")]
+    rx = "^" + ".*".join(parts) + ("$" if anchored else "")
+    return re.compile(rx)
+
+
+def parse_robots(text: str) -> list[RobotsGroup]:
+    """Parse into user-agent groups. Consecutive User-agent lines share
+    one group (RFC 9309 §2.2.1); rules before any User-agent line are
+    ignored; unknown directives (Crawl-delay, Sitemap) are skipped."""
+    groups: list[RobotsGroup] = []
+    cur: RobotsGroup | None = None
+    collecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                cur = RobotsGroup()
+                groups.append(cur)
+                collecting_agents = True
+            cur.agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if cur is None:
+                continue
+            if not val:
+                if key == "disallow":  # empty Disallow = allow all
+                    continue
+                continue
+            cur.rules.append(
+                (key == "allow", val, _compile_path(val), len(val))
+            )
+        else:
+            collecting_agents = False
+    return groups
+
+
+def _select_group(groups: list[RobotsGroup], agent: str) -> RobotsGroup | None:
+    """RFC 9309 §2.2.1: the group whose user-agent token matches the
+    crawler's product token (case-insensitive substring of the token,
+    longest token wins); the `*` group only if nothing else matches."""
+    agent = agent.lower()
+    best: tuple[int, RobotsGroup] | None = None
+    star: RobotsGroup | None = None
+    for g in groups:
+        for tok in g.agents:
+            if tok == "*":
+                if star is None:
+                    star = g
+            elif tok in agent and (best is None or len(tok) > best[0]):
+                best = (len(tok), g)
+    return best[1] if best else star
+
+
+def robots_allowed(text: str, agent: str, path: str) -> bool:
+    """Is `path` fetchable for `agent` under this robots.txt? Longest-match
+    precedence (§2.2.2): the rule with the longest pattern wins; on a
+    length tie Allow wins; no matching rule (or no matching group) means
+    allowed."""
+    group = _select_group(parse_robots(text), agent)
+    if group is None:
+        return True
+    best_len, best_allow = -1, True
+    for allow, _raw, rx, plen in group.rules:
+        if rx.match(path) and (
+            plen > best_len or (plen == best_len and allow and not best_allow)
+        ):
+            best_len, best_allow = plen, allow
+    return best_allow

@@ -1612,6 +1612,63 @@ def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "robots_txt_gate",
+    """SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN '/public/p' || doc_id
+         WHEN 1 THEN '/private/x' || doc_id
+         WHEN 2 THEN '/private/ok/y' || doc_id
+         WHEN 3 THEN '/doc' || doc_id || '.pdf'
+         ELSE '/doc' || doc_id || '.pdfx' END AS path,
+       (doc_id % 5) IN (0, 2, 4) AS allowed
+FROM documents""",
+)
+def q_robots_txt_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Site-level crawl exclusion: per-doc URL paths run through the REAL
+    RFC 9309 robots.txt matcher (extract/robots.py — group selection,
+    longest-match precedence, `*` wildcards, `$` anchor) against a fixed
+    policy. The five path classes exercise plain allow, prefix disallow,
+    longer-Allow override, the $-anchored wildcard, and the anchor's
+    negative case; the oracle states the expected flags. Complements
+    q:robots_filter (page-level meta robots)."""
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /*.pdf$\n"
+    )
+    docs = _t(spark, sf, "documents").select("doc_id")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/public/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/private/ok/y"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/doc"), F.col("doc_id").cast("string"),
+                       F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/doc"), F.col("doc_id").cast("string"),
+                            F.lit(".pdfx")))
+    )
+    pages = docs.select("doc_id", path.alias("path"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.robots import robots_allowed
+
+        for b in batches:
+            yield pd.DataFrame([
+                {"doc_id": int(d), "path": p,
+                 "allowed": robots_allowed(robots, "corpusbot", p)}
+                for d, p in zip(b["doc_id"], b["path"])
+            ])
+
+    return pages.mapInPandas(gen, "doc_id long, path string, allowed boolean")
+
+
 # unicode block ranges as literal-char regex classes — identical byte-for-
 # byte in Spark (Java regex) and the DuckDB oracle (RE2): both accept
 # literal UTF-8 range endpoints inside a class
@@ -3003,7 +3060,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_exact",
     "minhash_neardup",
     "minhash_neardup_xx",
-    "simhash_neardup",
     "dedup_clusters",
     "dedup_clusters_2p",
     "dup_paragraphs",
@@ -3012,6 +3068,7 @@ _DRIVER_WINDOW_FIRST = [
     "gopher_rules",
     "crawl_frontier",
     "script_detect",
+    "robots_txt_gate",
     "embedding_neardup_rh",
     "ivf_recall",
     "sessionize",

@@ -125,3 +125,29 @@ def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
     """The benchmark gram set broadcasts; the corpus side never self-joins."""
     plan = _plan(QUERIES["contamination_check"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_gopher_rules_plan_is_shuffle_free_and_codegen(spark, sf_dir):
+    """The Gopher gate at 10^12 docs must be a pure map pass: in-row array
+    folds only — no Exchange, no Python UDFs."""
+    plan = _plan(QUERIES["gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_paragraphs_partial_aggregation(spark, sf_dir):
+    """Corpus-wide paragraph counting must map-side combine: only
+    (paragraph, partial count/min) rows shuffle, never document bodies."""
+    plan = _plan(QUERIES["dup_paragraphs"](spark, sf_dir))
+    assert "partial_count" in plan and "Exchange" in plan
+
+
+def test_crawl_frontier_single_shuffle(spark, sf_dir):
+    """Politeness scheduling is one hash Exchange on host (the window) —
+    scheduling never concentrates on the driver."""
+    import re
+
+    plan = _plan(QUERIES["crawl_frontier"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(host" in plan
+    assert "EvalPython" not in plan
