@@ -26,10 +26,12 @@ from ..sources.checkpoint import with_split_id
 from ..synth.pages import PAGES_SCHEMA
 
 
-def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -62,6 +64,7 @@ def stream_ingest_with_manifest(
     manifest_dir: str,
     checkpoint_dir: str,
     n_splits: int = 64,
+    max_files_per_trigger: int = 8,
 ):
     """Streaming ingest wired into the SAME operational layer as the batch
     job: each micro-batch extracts, writes through write_extracted (dynamic
@@ -74,10 +77,20 @@ def stream_ingest_with_manifest(
     from ..sources import checkpoint as ckpt
     from ..sources.sink import write_extracted
 
-    pages = read_pages_stream(spark, input_dir)
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        df = with_split_id(batch_df, n_splits)
+        # namespace splits per micro-batch: with_split_id hashes urls into
+        # the SAME 0..n_splits-1 range every batch, and write_extracted's
+        # dynamic overwrite replaces whole split partitions — without the
+        # batch offset, batch k+1 would clobber batch k's rows in every
+        # shared split. With it, each batch owns its split range, so a
+        # replayed batch (file list pinned by the offset log) overwrites
+        # exactly its own partitions: idempotent AND append-safe.
+        df = with_split_id(batch_df, n_splits).withColumn(
+            "split_id",
+            (F.lit(batch_id).cast("int") * n_splits + F.col("split_id")).cast("int"),
+        )
         extracted = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
         extracted = extracted.persist()
         try:

@@ -303,6 +303,67 @@ def test_stream_ingest_crash_resume_exactly_once(
     assert done == written and done
 
 
+def test_stream_ingest_multibatch_crash_preserves_committed_batches(
+    spark, pages_dir, tmp_path, monkeypatch
+):
+    """Cross-batch-boundary resume: with one file per trigger the input is
+    3 micro-batches; batch 0 commits fully, the crash hits batch 1 after
+    its output write, and the restart must replay batch 1 (uncommitted in
+    the offset log) WITHOUT re-running batch 0 — proven by counting sink
+    invocations on the second run — and still land exactly-once."""
+    from pdf_parser_benchmark_spark.plans.pipeline import extract_pages
+    from pdf_parser_benchmark_spark.sources import checkpoint as ckpt_mod
+    from pdf_parser_benchmark_spark.sources.checkpoint import read_completed_splits
+    from pdf_parser_benchmark_spark.streaming.ingest_stream import (
+        stream_ingest_with_manifest,
+    )
+
+    out = str(tmp_path / "out_mb")
+    man = str(tmp_path / "man_mb")
+    ck = str(tmp_path / "ck_mb")
+
+    real_mark = ckpt_mod.mark_splits_complete
+    calls: list[str] = []
+    crashed = {"done": False}
+
+    def crashing_mark(df, manifest_dir, job_id, n_splits):
+        calls.append(job_id)
+        if job_id == "stream-1" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash in batch 1")
+        return real_mark(df, manifest_dir, job_id, n_splits)
+
+    monkeypatch.setattr(ckpt_mod, "mark_splits_complete", crashing_mark)
+
+    q = stream_ingest_with_manifest(
+        spark, pages_dir, out, man, ck, n_splits=16, max_files_per_trigger=1
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+    assert calls == ["stream-0", "stream-1"]  # batch 0 committed, 1 died
+    assert read_completed_splits(spark, man).count() > 0
+
+    calls.clear()
+    q2 = stream_ingest_with_manifest(
+        spark, pages_dir, out, man, ck, n_splits=16, max_files_per_trigger=1
+    )
+    q2.awaitTermination(180)
+    # resume replays ONLY the uncommitted batches, never batch 0
+    assert "stream-0" not in calls and calls
+
+    batch = spark.read.parquet(pages_dir)
+    expect = {
+        (r["url"], r["text"])
+        for r in extract_pages(batch, n_splits=16).select("url", "text").collect()
+    }
+    got_rows = spark.read.parquet(out)
+    got = [(r["url"], r["text"]) for r in got_rows.select("url", "text").collect()]
+    assert len(got) == len(expect) and set(got) == expect
+    done = {r["split_id"] for r in read_completed_splits(spark, man).collect()}
+    written = {r["split_id"] for r in got_rows.select("split_id").distinct().collect()}
+    assert done == written and done
+
+
 def test_stream_ingest_writes_manifest_and_matches_batch(spark, pages_dir, tmp_path):
     """foreachBatch ingest: streaming output is content-identical to the
     batch extraction, and the checkpoint manifest carries `complete` rows
