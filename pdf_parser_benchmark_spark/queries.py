@@ -1502,6 +1502,56 @@ def q_host_indegree(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "host_indegree_all",
+    """WITH h AS (
+  SELECT doc_id, 'hub' || (doc_id % 5)::VARCHAR || '.example' AS host,
+         'html' AS src
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'h' || (doc_id % 7) || '.example', 'pdf' FROM documents
+  UNION ALL
+  SELECT doc_id, 'h' || ((doc_id * 3) % 7) || '.example', 'pdf' FROM documents
+  UNION ALL
+  SELECT doc_id, 'h' || ((doc_id + 1) % 7) || '.example', 'pdf' FROM documents
+)
+SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs,
+       count(*) FILTER (WHERE src = 'html') AS n_html,
+       count(*) FILTER (WHERE src = 'pdf') AS n_pdf
+FROM h GROUP BY host""",
+)
+def q_host_indegree_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Hub detection across BOTH document classes: the HTML link graph
+    (real <a href> extraction) unioned with the PDF link graph (real
+    /Annots /URI extraction) feeds one host-level in-degree aggregation
+    with a per-source breakdown — the cross-format composition a corpus
+    pipeline actually runs, not two siloed analyses."""
+    html = (
+        q_link_graph(spark, sf)
+        .select(
+            "doc_id",
+            F.parse_url("href", F.lit("HOST")).alias("host"),
+            F.lit("html").alias("src"),
+        )
+        .filter(F.col("host").isNotNull())
+    )
+    pdf = q_pdf_link_graph(spark, sf).select(
+        "doc_id",
+        F.parse_url("uri", F.lit("HOST")).alias("host"),
+        F.lit("pdf").alias("src"),
+    )
+    return (
+        html.unionByName(pdf)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.when(F.col("src") == "html", 1)).alias("n_html"),
+            F.count(F.when(F.col("src") == "pdf", 1)).alias("n_pdf"),
+        )
+    )
+
+
 # ===========================================================================
 # text analysis (training-data ops)
 # ===========================================================================
@@ -3057,7 +3107,6 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_decode",
     "frame_sample",
     # high-value keepers from the r1-r3 window (dedup/ANN/streaming + once-red)
-    "dedup_exact",
     "minhash_neardup",
     "minhash_neardup_xx",
     "dedup_clusters",
@@ -3069,6 +3118,7 @@ _DRIVER_WINDOW_FIRST = [
     "crawl_frontier",
     "script_detect",
     "robots_txt_gate",
+    "host_indegree_all",
     "embedding_neardup_rh",
     "ivf_recall",
     "sessionize",
