@@ -91,6 +91,37 @@ def _select_group(groups: list[RobotsGroup], agent: str) -> RobotsGroup | None:
     return best[1] if best else star
 
 
+_SITEMAP_DIRECTIVE_RE = re.compile(r"(?im)^\s*sitemap\s*:\s*(\S+)")
+# XML sitemap protocol (sitemaps.org, public): <urlset><url><loc>…
+_LOC_RE = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>")
+_XML_ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+
+
+def sitemap_urls_from_robots(text: str) -> list[str]:
+    """Sitemap: directives from robots.txt (RFC 9309 allows them anywhere,
+    outside any group), in file order."""
+    return [m.group(1) for m in _SITEMAP_DIRECTIVE_RE.finditer(text)]
+
+
+def parse_sitemap(xml: str) -> tuple[list[str], list[str]]:
+    """→ (page_urls, child_sitemap_urls) from a sitemaps.org document.
+    A <sitemapindex> nests <sitemap><loc> entries (child sitemaps to
+    fetch); a <urlset> nests <url><loc> page entries. Regex-scoped rather
+    than a full XML parser — the protocol pins this exact shape, and
+    crawl-scale sitemap readers do the same for robustness against the
+    malformed XML actually served. Entities in <loc> are unescaped."""
+
+    def _unescape(u: str) -> str:
+        for k, v in _XML_ENT.items():
+            u = u.replace(k, v)
+        return u
+
+    locs = [_unescape(m.group(1)) for m in _LOC_RE.finditer(xml)]
+    if re.search(r"<\s*sitemapindex[\s>]", xml):
+        return [], locs
+    return locs, []
+
+
 def robots_allowed(text: str, agent: str, path: str) -> bool:
     """Is `path` fetchable for `agent` under this robots.txt? Longest-match
     precedence (§2.2.2): the rule with the longest pattern wins; on a

@@ -1503,6 +1503,70 @@ def q_host_indegree(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sitemap_frontier",
+    """SELECT doc_id, kind, pos, url FROM (
+  SELECT doc_id, 'child' AS kind, 0 AS pos,
+         'https://s' || (doc_id % 7) || '.example/sm/' || doc_id || 'a.xml' AS url
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'child', 1,
+         'https://s' || (doc_id % 7) || '.example/sm/' || doc_id || 'b.xml'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'page', 0,
+         'https://s' || (doc_id % 7) || '.example/p/' || doc_id || '?a=1&b=2'
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, 'page', 1,
+         'https://s' || (doc_id % 7) || '.example/q/' || doc_id
+  FROM documents WHERE doc_id % 5 <> 0
+) t""",
+)
+def q_sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap discovery (sitemaps.org protocol): every 5th doc serves a
+    <sitemapindex> (child sitemaps to fetch), the rest serve a <urlset>
+    with entity-escaped page URLs — each parsed by the REAL parser
+    (extract/robots.py:parse_sitemap) per row; the oracle states the
+    expected frontier. The seed stage of the crawl loop that
+    q:crawl_frontier then schedules."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example"))
+    index_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), host, F.lit("/sm/"), sid,
+        F.lit("a.xml</loc></sitemap><sitemap><loc>"), host, F.lit("/sm/"),
+        sid, F.lit("b.xml</loc></sitemap></sitemapindex>"),
+    )
+    urlset_xml = F.concat(
+        F.lit("<urlset><url><loc> "), host, F.lit("/p/"), sid,
+        F.lit("?a=1&amp;b=2 </loc><lastmod>x</lastmod></url><url><loc>"),
+        host, F.lit("/q/"), sid, F.lit("</loc></url></urlset>"),
+    )
+    xml = F.when(F.col("doc_id") % 5 == 0, index_xml).otherwise(urlset_xml)
+    pages = docs.select("doc_id", xml.alias("xml"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.robots import parse_sitemap
+
+        for b in batches:
+            rows = []
+            for d, x in zip(b["doc_id"], b["xml"]):
+                purls, children = parse_sitemap(x)
+                for pos, u in enumerate(purls):
+                    rows.append({"doc_id": int(d), "kind": "page",
+                                 "pos": pos, "url": u})
+                for pos, u in enumerate(children):
+                    rows.append({"doc_id": int(d), "kind": "child",
+                                 "pos": pos, "url": u})
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(gen, "doc_id long, kind string, pos int, url string")
+
+
+@query(
     "host_indegree_all",
     """WITH h AS (
   SELECT doc_id, 'hub' || (doc_id % 5)::VARCHAR || '.example' AS host,
@@ -3107,7 +3171,6 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_decode",
     "frame_sample",
     # high-value keepers from the r1-r3 window (dedup/ANN/streaming + once-red)
-    "minhash_neardup",
     "minhash_neardup_xx",
     "dedup_clusters",
     "dedup_clusters_2p",
@@ -3119,6 +3182,7 @@ _DRIVER_WINDOW_FIRST = [
     "script_detect",
     "robots_txt_gate",
     "host_indegree_all",
+    "sitemap_frontier",
     "embedding_neardup_rh",
     "ivf_recall",
     "sessionize",

@@ -69,3 +69,61 @@ def test_tie_length_prefers_allow():
     assert not robots_allowed(txt, "b", "/p/a")
     assert robots_allowed(txt, "b", "/p/b")
     assert robots_allowed(tie, "b", "/dir/x")  # 5 == 5 → Allow wins
+
+
+def test_sitemap_directives_from_robots():
+    from pdf_parser_benchmark_spark.extract.robots import (
+        sitemap_urls_from_robots,
+    )
+
+    assert sitemap_urls_from_robots(ROBOTS) == ["https://x.example/sitemap.xml"]
+    multi = "Sitemap: https://a/s1.xml\nUser-agent: *\nDisallow: /\nsitemap: https://a/s2.xml\n"
+    assert sitemap_urls_from_robots(multi) == [
+        "https://a/s1.xml", "https://a/s2.xml",
+    ]
+
+
+def test_parse_sitemap_urlset_and_index():
+    from pdf_parser_benchmark_spark.extract.robots import parse_sitemap
+
+    urlset = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://x.example/a?q=1&amp;r=2 </loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>https://x.example/b</loc></url>
+</urlset>"""
+    pages, children = parse_sitemap(urlset)
+    assert pages == ["https://x.example/a?q=1&r=2", "https://x.example/b"]
+    assert children == []
+
+    index = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://x.example/s1.xml</loc></sitemap>
+  <sitemap><loc>https://x.example/s2.xml</loc></sitemap>
+</sitemapindex>"""
+    pages, children = parse_sitemap(index)
+    assert pages == []
+    assert children == ["https://x.example/s1.xml", "https://x.example/s2.xml"]
+
+
+def test_gopher_keep_paper_defaults(spark):
+    """Direct unit pin of the gopher gate at PAPER defaults (50 words /
+    2 stop words) independent of the corpus-scaled query thresholds."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_benchmark_spark.functions.text import gopher_keep
+
+    good = ("the data and results " * 15).strip()        # 60 words, 2 stops
+    short = "the tiny and doc"                           # fails word_count
+    nostop = ("alpha beta gamma delta " * 15).strip()    # fails stop_words
+    # '####' keeps mean word length in [3,10] so the SYMBOL rule is the
+    # first to fail, not mean_word_len
+    symbols = ("the of data " * 20 + "#### " * 40).strip()
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, symbols)], "id long, t string"
+    )
+    keep, reason = gopher_keep(F.col("t"))
+    got = {r["id"]: (r["k"], r["r"]) for r in
+           df.select("id", keep.alias("k"), reason.alias("r")).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "word_count")
+    assert got[3] == (False, "stop_words")
+    assert got[4] == (False, "symbol_ratio")
