@@ -2024,19 +2024,21 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "audio_rms",
-    r"""SELECT doc_id,
-  list_transform(generate_series(0, 15), w ->
-    round(sqrt(list_aggregate(list_transform(generate_series(0, 3), i ->
-      (((doc_id * 31 + (w * 4 + i) * 17) % 201 - 100) / 32768.0)
-      * (((doc_id * 31 + (w * 4 + i) * 17) % 201 - 100) / 32768.0)),
-      'sum') / 4), 6)) AS rms
-FROM documents""",
+    r"""SELECT doc_id, w.generate_series::INTEGER AS w,
+  round(sqrt(list_aggregate(list_transform(generate_series(0, 3), i ->
+    (((doc_id * 31 + (w.generate_series * 4 + i) * 17) % 201 - 100) / 32768.0)
+    * (((doc_id * 31 + (w.generate_series * 4 + i) * 17) % 201 - 100) / 32768.0)),
+    'sum') / 4), 6) AS rms
+FROM documents CROSS JOIN generate_series(0, 15) AS w""",
 )
 def q_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
     """Audio feature extraction as a value-verified query: per doc, a
     deterministic 64-sample PCM signal is wave-encoded (stdlib), decoded by
     the FROM-SCRATCH RIFF/WAV parser (multimodal.binary_ops._wav_decode),
-    and reduced to 16 windowed-RMS features. The oracle recomputes the same
+    and reduced to 16 windowed-RMS features, emitted as one scalar row per
+    (doc_id, window) — scalar columns only, so the driver's canonicalizer
+    (which sorts by every column and cannot hash list cells — the r4
+    driver-red) can value-hash it. The oracle recomputes the same
     arithmetic directly in SQL — so the real encode→decode→feature path is
     exercised end-to-end and checked bit-for-bit (sequential sums, exact
     /32768 scaling, IEEE sqrt on both engines; rounding JVM-side only)."""
@@ -2077,8 +2079,8 @@ def q_audio_rms(spark: SparkSession, sf: str) -> DataFrame:
 
     out = docs.mapInPandas(gen, "doc_id long, rms array<double>")
     return out.select(
-        "doc_id", F.transform("rms", lambda v: F.round(v, 6)).alias("rms")
-    )
+        "doc_id", F.posexplode(F.transform("rms", lambda v: F.round(v, 6)))
+    ).withColumnsRenamed({"pos": "w", "col": "rms"})
 
 
 @query(
@@ -3121,81 +3123,22 @@ except ImportError:  # pragma: no cover — before first generation
 
 
 # ---------------------------------------------------------------------------
-# driver-window rotation (round 4+)
+# driver-window rotation (round 4+; metadata-driven since round 5)
 #
 # The driver's per-round CORRECTNESS gate hashes only the FIRST 50 entries of
-# QUERIES (insertion order). Rounds 1-3 always presented the same first 50, so
-# 34 queries — including extract_digest, the only value-level oracle of the
-# flagship extraction — never received a hard driver row. Rotate: queries with
-# no driver CORRECTNESS row in any prior round go first, then this round's new
-# queries, then high-value keepers (dedup/ANN/streaming twins and the two
-# once-red rows); three-round-stable P-series rows move to the tail. Nothing
-# is dropped — tools/parity_check.py still validates all entries locally.
-# Policy: each round, promote never-driver-checked + newly added queries into
-# the first 50 and demote the longest-stable rows.
+# QUERIES (insertion order), so the registries are re-keyed staleness-first:
+# queries with no driver-green row ever (incl. queries new this round) come
+# first, then those whose last green row is oldest. The staleness table and
+# ordering policy live in driver_window.py as explicit generated metadata
+# (ADVICE r4) — regenerate with tools/update_driver_window.py each round;
+# contract documented in tools/DRIVER_WINDOW.md. Nothing is dropped —
+# tools/parity_check.py still validates all entries locally.
 # ---------------------------------------------------------------------------
-_DRIVER_WINDOW_FIRST = [
-    # never driver-checked in r1-r3 (34)
-    "extract_digest",
-    "extract_pipeline",
-    "contamination_check",
-    "audio_rms",
-    "media_refs",
-    "robots_filter",
-    "lang_id",
-    "lang_id3",
-    "doc_fingerprint",
-    "hash_embeddings",
-    "tpch_q1_pricing",
-    "tpch_q3_topk",
-    "tpch_q5_volume",
-    "semi_join_customers",
-    "set_ops_sources",
-    "excerpts",
-    "rollup_revenue",
-    "pivot_status_qty",
-    "count_distinct_orders",
-    "median_value_by_type",
-    "tpch_q6_forecast",
-    "tpch_q4_priority",
-    "tpch_q10_returns",
-    "sql_api_pricing",
-    "sql_api_topk",
-    "url_canonicalize",
-    "url_dedup",
-    "pii_redact",
-    "hash_sample",
-    "ngram_topk",
-    "salted_agg",
-    "salted_join",
-    "multimodal_decode",
-    "frame_sample",
-    # high-value keepers from the r1-r3 window (dedup/ANN/streaming + once-red)
-    "minhash_neardup_xx",
-    "dedup_clusters",
-    "dedup_clusters_2p",
-    "dup_paragraphs",
-    "strip_dup_paragraphs",
-    "pdf_link_graph",
-    "gopher_rules",
-    "crawl_frontier",
-    "script_detect",
-    "robots_txt_gate",
-    "host_indegree_all",
-    "sitemap_frontier",
-    "embedding_neardup_rh",
-    "ivf_recall",
-    "sessionize",
-    "windowed_event_counts",
-    "summary_agg",
-    "fuzzy_title_join",
-]
+from pdf_parser_benchmark_spark.driver_window import window_order as _window_order
 
 
 def _rotate_driver_window(d: dict) -> None:
-    head = [n for n in _DRIVER_WINDOW_FIRST if n in d]
-    tail = [n for n in d if n not in set(head)]
-    items = [(n, d[n]) for n in head + tail]
+    items = [(n, d[n]) for n in _window_order(list(d))]
     d.clear()
     d.update(items)
 
