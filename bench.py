@@ -165,7 +165,6 @@ def main() -> None:
     from pdf_parser_benchmark_spark.operators.knn import (
         brute_force_topk,
         ivf_topk_kmeans,
-        pq_topk,
     )
     from pdf_parser_benchmark_spark.synth.vectors import (
         ensure_vector_corpus,
@@ -196,17 +195,35 @@ def main() -> None:
     ).select("qid", "vec_id")
     ivf_recall = _recall_of(ivf10)
     t_ivf = time.monotonic() - t0
+    # PQ production shape (VERDICT r4 item 3): train/encode ONCE (reported
+    # as pq_train_sec — a 10^12-vector corpus pays this once, amortized
+    # over every query batch), then serve searches from the stored index
+    # via the broadcast-LUT ADC scan (pq_topk_lut: numpy gather + per-batch
+    # partial top-R, zero joins on the code stream). r4's 38.8 s lane
+    # conflated training with search; the relational ADC join is kept as
+    # the oracle twin (pq_topk) and pinned equal in test_operators_spark.
+    from pdf_parser_benchmark_spark.operators.knn import pq_fit, pq_topk_lut
+
     t0 = time.monotonic()
-    pq10 = pq_topk(
-        vec_queries, vec_corpus, k=AK, m=8, dim=AD, codes=16, rerank=50
+    pq_cb, pq_enc = pq_fit(vec_corpus, m=8, dim=AD, k=16, iterations=3)
+    pq_cb = pq_cb.persist()
+    pq_enc = pq_enc.persist()
+    pq_enc.count(), pq_cb.count()
+    t_pq_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    pq10 = pq_topk_lut(
+        vec_queries, vec_corpus, k=AK, m=8, dim=AD, codes=16, rerank=50,
+        codebooks=pq_cb, encoded=pq_enc,
     ).select("qid", "vec_id")
     pq_recall = _recall_of(pq10)
     t_pq = time.monotonic() - t0
+    pq_cb.unpersist(), pq_enc.unpersist()
     ann_100k = {
         "n": AN,
         "brute_force_sec": round(t_brute, 3),
         "ivf_nprobe4_sec": round(t_ivf, 3),
         "ivf_recall_at_10": ivf_recall,
+        "pq_train_sec": round(t_pq_train, 3),
         "pq_rerank_sec": round(t_pq, 3),
         "pq_recall_at_10": pq_recall,
     }
@@ -249,6 +266,11 @@ def main() -> None:
                 "metric": "headline query wall time (extract + operators, warm lane; "
                           "value_cold = intermediates released)",
                 "value": value_warm,
+                # ADVICE r4: `value` is pinned to the WARM lane (the r1/r2
+                # series) — value_lane names it so no consumer has to infer
+                # the lane from round context; value_cold is the fresh-job
+                # series (r3's headline).
+                "value_lane": "warm",
                 "value_warm": value_warm,
                 "value_cold": value_cold,
                 "unit": "sec",

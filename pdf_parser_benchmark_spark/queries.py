@@ -810,6 +810,27 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("pq_topk_lut")  # iterative fit — pinned oracle (tools/gen_pinned.py)
+def q_pq_topk_lut(spark: SparkSession, sf: str) -> DataFrame:
+    """The production PQ search shape (VERDICT r4 item 3): same fitted
+    index as q:pq_topk, but ADC scoring runs as a broadcast-LUT numpy
+    gather inside mapInPandas with per-batch partial top-R — zero joins on
+    the code stream; only the tiny candidate stream (batches·Q·R rows) is
+    shuffled — followed by the exact cosine re-rank of the top-10
+    candidates. test_operators_spark pins this path row-identical to the
+    relational ADC twin on a shared fit."""
+    from .operators.knn import pq_topk_lut
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return pq_topk_lut(queries, corpus, k=3, iterations=2, rerank=10).select(
+        "qid", "vec_id", F.col("score").alias("score"), "rank"
+    )
+
+
 @query(
     "ivf_recall",
     f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -363,6 +363,40 @@ def test_pq_cluster_precision(spark):
     assert all(r["vec_id"] % 8 == r["qid"] % 8 for r in res)
 
 
+def test_pq_lut_matches_relational_adc(spark):
+    """Scale-path twin contract (VERDICT r4 item 3): pq_topk_lut (broadcast
+    distance tables + numpy LUT gather in mapInPandas, per-batch partial
+    top-R, zero joins on the code stream) must return EXACTLY what the
+    relational explode+join+sum ADC path returns, on the same fitted index
+    — both the raw-ADC top-k (values included) and the two-stage exact
+    re-rank output."""
+    from pdf_parser_benchmark_spark.operators.knn import (
+        pq_fit,
+        pq_topk,
+        pq_topk_lut,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    cb, enc = pq_fit(corpus, k=16, iterations=2)
+    cb, enc = cb.persist(), enc.persist()
+    enc.count()
+    try:
+        for kw in ({"k": 3}, {"k": 3, "rerank": 10}):
+            rel = pq_topk(
+                queries, corpus, iterations=2, codebooks=cb, encoded=enc, **kw
+            ).orderBy("qid", "rank").collect()
+            lut = pq_topk_lut(
+                queries, corpus, iterations=2, codebooks=cb, encoded=enc, **kw
+            ).orderBy("qid", "rank").collect()
+            assert [tuple(r) for r in rel] == [tuple(r) for r in lut], kw
+    finally:
+        cb.unpersist(), enc.unpersist()
+
+
 def test_url_canonicalize_non_url_input_is_null(spark):
     """Scheme-less / garbage input canonicalizes to NULL (not '://')."""
     from pdf_parser_benchmark_spark.queries import _canon_url_col
