@@ -151,3 +151,16 @@ def test_crawl_frontier_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning(host" in plan
     assert "EvalPython" not in plan
+
+
+def test_crawl_loop_single_shuffle(spark, sf_dir):
+    """The composed crawl loop (sitemap discovery → robots gate →
+    politeness frontier) stays one hash Exchange on host: discovery and
+    gating run inside a single mapInPandas pass, only the window
+    shuffles."""
+    import re
+
+    plan = _plan(QUERIES["crawl_loop"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(host" in plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
