@@ -823,6 +823,13 @@ class PdfDocument:
                 data = _ascii_hex_decode(data)
             elif f in ("/ASCII85Decode", "/A85"):
                 data = _ascii85_decode(data)
+            elif f in ("/DCTDecode", "/DCT"):
+                # ISO 32000-1 §7.4.8: data is a baseline JPEG; decoded
+                # content is the raw image sample stream (row-major,
+                # component-interleaved) — from-scratch codec, no PIL
+                from ..multimodal.jpeg import jpeg_decode as _jd
+
+                data = _jd(bytes(data)).tobytes()
             elif f in (None,):
                 pass
             else:
@@ -899,6 +906,39 @@ class PdfDocument:
                         out.append(
                             (idx, uri.decode("latin-1").translate(_PDFDOC_DIVERGENT))
                         )
+        return out
+
+    def images(self) -> list[tuple[int, str, int, int, int, bytes]]:
+        """(page_index, name, width, height, ncomp, pixel_bytes) for every
+        /Subtype /Image XObject in page resources (§8.9.5) — the multimodal
+        mining twin of uri_links(). pixel_bytes is the fully-decoded sample
+        stream (stream_data applies the filter chain, incl. the from-scratch
+        /DCTDecode baseline-JPEG codec); ncomp is derived from /ColorSpace
+        (DeviceRGB=3, else 1). Undecodable images are skipped (poison
+        tolerance, same policy as form XObjects)."""
+        out: list[tuple[int, str, int, int, int, bytes]] = []
+        for idx, page in enumerate(self.pages()):
+            res = self.resolve(page.get("/Resources")) or {}
+            xdict = self.resolve(res.get("/XObject")) or {}
+            for name, xref in sorted(xdict.items()):
+                xo = self.resolve(xref)
+                if (
+                    not isinstance(xo, _Stream)
+                    or xo.dict.get("/Subtype") != "/Image"
+                ):
+                    continue
+                try:
+                    px = self.stream_data(xo)
+                    w = int(self.resolve(xo.dict.get("/Width")))
+                    h = int(self.resolve(xo.dict.get("/Height")))
+                except Exception:
+                    continue
+                ncomp = (
+                    3
+                    if self.resolve(xo.dict.get("/ColorSpace")) == "/DeviceRGB"
+                    else 1
+                )
+                out.append((idx, name.lstrip("/"), w, h, ncomp, px))
         return out
 
 

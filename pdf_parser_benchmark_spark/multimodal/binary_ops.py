@@ -157,12 +157,20 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         return _grid_features(_png_decode(payload))
     if payload[:2] in (b"P5", b"P6"):
         return _grid_features(_pnm_decode(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode  # from-scratch baseline JPEG (r5)
+
+        px = jpeg_decode(payload).astype(np.float64)
+        lum = px if px.ndim == 2 else (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        )
+        return _grid_features(lum / 255.0)
     try:
         from PIL import Image  # optional dependency, absent in this container
     except ImportError:
         raise NotImplementedError(
-            "unsupported image format (from-scratch decoders cover PNG/PNM; "
-            "install PIL on the cluster for JPEG/WebP/…)"
+            "unsupported image format (from-scratch decoders cover "
+            "PNG/PNM/baseline-JPEG; install PIL on the cluster for WebP/…)"
         )
     import io
 

@@ -2356,6 +2356,81 @@ def q_pdf_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(gen, "doc_id long, page int, pos int, uri string")
 
 
+@query("pdf_images")  # DCTDecode in the PDF filter chain — pinned oracle
+def q_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal mining from PDFs (VERDICT r4 item 4, second half): per
+    doc a REAL one-page PDF embeds a JPEG image XObject (/Subtype /Image
+    /Filter /DCTDecode, §8.9.5 + §7.4.8) built from sha256(text) pixels by
+    the from-scratch encoder; the parser walks page resources
+    (PdfDocument.images()) and stream_data() runs the from-scratch JPEG
+    decoder inside the standard filter chain. Emits decoded-pixel digests
+    and means — write → embed → parse → DCT-decode, all verified at value
+    level. Even docs carry RGB 4:2:0, odd docs grayscale."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+        from pdf_parser_benchmark_spark.multimodal.jpeg import jpeg_encode
+        from pdf_parser_benchmark_spark.synth.pdf_writer import (
+            PageSpec,
+            TextItem,
+            build_pdf,
+        )
+
+        def plane(seed: bytes) -> np.ndarray:
+            h = hashlib.sha256(seed).digest()
+            return np.frombuffer(h * 8, dtype=np.uint8)[:256].reshape(16, 16)
+
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                d = int(d)
+                raw = t.encode("utf-8")
+                if d % 2 == 0:
+                    img = np.stack(
+                        [plane(raw + s) for s in (b"r", b"g", b"b")], axis=-1
+                    )
+                    jpg = jpeg_encode(img, quality=85, subsample=True)
+                    ncomp = 3
+                else:
+                    jpg = jpeg_encode(plane(raw), quality=85)
+                    ncomp = 1
+                data = build_pdf([
+                    PageSpec(
+                        items=[TextItem(50, 700, f"doc {d}")],
+                        images=[(jpg, 16, 16, ncomp)],
+                    )
+                ])
+                for page, name, w, h, nc, px in PdfDocument(data).images():
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "page": page,
+                            "img": name,
+                            "width": w,
+                            "height": h,
+                            "ncomp": nc,
+                            "px_mean_milli": int(
+                                round(float(arr.mean()) * 1000)
+                            ),
+                            "px_sha8": hashlib.sha256(px).hexdigest()[:8],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, page int, img string, width int, height int, "
+        "ncomp int, px_mean_milli long, px_sha8 string",
+    )
+
+
 @query(
     "lang_id",
     r"""WITH m AS (
@@ -3212,6 +3287,79 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
         "mime",
         "width",
         *[micro(i).alias(f"f{i}_micro") for i in range(4)],
+    )
+
+
+@query("jpeg_decode")  # DCT+Huffman round trip — pinned oracle (gen_pinned)
+def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """From-scratch baseline JPEG codec end-to-end (VERDICT r4 item 4;
+    public spec ITU-T T.81): per doc a deterministic 16×16 image is built
+    from sha256(text) bytes, ENCODED by multimodal/jpeg.py (DCT, Annex K
+    tables, Huffman, byte stuffing) and DECODED by the same module's
+    from-scratch decoder, cycling the three hard decoder paths by doc_id:
+    grayscale, color 4:2:0 (subsampled YCbCr + upsample), and grayscale
+    with restart markers (DRI/RSTn). Features are the 4×4 luminance grid
+    of the DECODED pixels — any drift in either side of the codec changes
+    the pinned values."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.multimodal.binary_ops import (
+            _grid_features,
+        )
+        from pdf_parser_benchmark_spark.multimodal.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        def plane(seed: bytes) -> np.ndarray:
+            h = hashlib.sha256(seed).digest()
+            return np.frombuffer(h * 8, dtype=np.uint8)[:256].reshape(16, 16)
+
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                d = int(d)
+                raw = t.encode("utf-8")
+                mode = d % 3
+                if mode == 0:
+                    img = np.stack(
+                        [plane(raw + s) for s in (b"r", b"g", b"b")], axis=-1
+                    )
+                    enc = jpeg_encode(img, quality=85, subsample=True)
+                elif mode == 1:
+                    enc = jpeg_encode(plane(raw), quality=85)
+                else:
+                    enc = jpeg_encode(plane(raw), quality=85,
+                                      restart_interval=2)
+                px = jpeg_decode(enc).astype(np.float64)
+                lum = px if px.ndim == 2 else (
+                    0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                )
+                feats = _grid_features(lum / 255.0)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "mode": ["color420", "gray", "gray_rst"][mode],
+                        "n_bytes": len(enc),
+                        **{
+                            f"f{i}_micro": int(round(float(feats[i]) * 1e6))
+                            for i in range(4)
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "media_id long, mode string, n_bytes int, "
+        + ", ".join(f"f{i}_micro long" for i in range(4)),
     )
 
 

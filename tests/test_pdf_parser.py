@@ -204,3 +204,64 @@ def test_uri_link_annotations_roundtrip():
     assert PdfDocument(build_pdf(specs, use_xref_stream=True)).uri_links() == expect
     # the no-links writer path is byte-identical to before (goldens hold)
     assert b"/Annots" not in build_pdf([PageSpec(items=[TextItem(50, 700, "x")])])
+
+
+def test_pdf_image_xobject_dctdecode_roundtrip():
+    """Embedded JPEG image XObject (§8.9.5, /Filter /DCTDecode §7.4.8):
+    writer embeds, parser's images() walks resources, stream_data runs the
+    from-scratch baseline-JPEG decoder; pixels match a direct decode, and
+    text extraction is untouched by the image."""
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.extract.pdf_parser import (
+        PdfDocument,
+        parse_pdf,
+    )
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from pdf_parser_benchmark_spark.synth.pdf_writer import (
+        PageSpec,
+        TextItem,
+        build_pdf,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    gray = (50 + 10 * yy).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([gray, gray.T, np.full((16, 16), 99, np.uint8)], axis=-1)
+    jg = jpeg_encode(gray, quality=85)
+    jc = jpeg_encode(rgb, quality=85, subsample=True)
+    data = build_pdf(
+        [
+            PageSpec(items=[TextItem(50, 700, "hello")], images=[(jg, 16, 16, 1)]),
+            PageSpec(items=[TextItem(50, 700, "world")],
+                     images=[(jc, 16, 16, 3)]),
+        ]
+    )
+    imgs = PdfDocument(data).images()
+    assert [(i[0], i[1], i[2], i[3], i[4]) for i in imgs] == [
+        (0, "Im0", 16, 16, 1),
+        (1, "Im0", 16, 16, 3),
+    ]
+    assert imgs[0][5] == jpeg_decode(jg).tobytes()
+    assert imgs[1][5] == jpeg_decode(jc).tobytes()
+    # text path unaffected by the embedded images
+    text = " ".join(
+        blk.text() for pg in parse_pdf(data) for blk in pg.blocks
+    )
+    assert "hello" in text and "world" in text
+
+
+def test_pdf_image_free_output_byte_identical():
+    """PageSpec.images defaults empty -> writer output is byte-identical to
+    the pre-image-support writer (golden fixtures keep holding)."""
+    from pdf_parser_benchmark_spark.synth.pdf_writer import (
+        PageSpec,
+        TextItem,
+        build_pdf,
+    )
+
+    a = build_pdf([PageSpec(items=[TextItem(50, 700, "x")])])
+    b = build_pdf([PageSpec(items=[TextItem(50, 700, "x")], images=[])])
+    assert a == b
