@@ -74,21 +74,42 @@ def parse_robots(text: str) -> list[RobotsGroup]:
     return groups
 
 
-def _select_group(groups: list[RobotsGroup], agent: str) -> RobotsGroup | None:
-    """RFC 9309 §2.2.1: the group whose user-agent token matches the
-    crawler's product token (case-insensitive substring of the token,
-    longest token wins); the `*` group only if nothing else matches."""
+def _select_rules(groups: list[RobotsGroup], agent: str) -> list | None:
+    """RFC 9309 §2.2.1 group selection (ADVICE r4 fixes):
+
+    - Token matching is anchored to the PRODUCT-TOKEN PREFIX of the
+      crawler's user-agent string (case-insensitive), not bare substring —
+      a short token like 'bot' no longer steals precedence from inside
+      arbitrary agent strings; the most specific (longest) matching token
+      wins.
+    - When more than one group matches the winning token (or, on fallback,
+      more than one `*` group exists), the matching groups' rules are
+      COMBINED into one rule set, per the spec's "rules MUST be combined"
+      clause — previously only the first such group applied.
+
+    Returns the merged rule list, or None when no group applies."""
     agent = agent.lower()
-    best: tuple[int, RobotsGroup] | None = None
-    star: RobotsGroup | None = None
+    best_len = -1
     for g in groups:
         for tok in g.agents:
-            if tok == "*":
-                if star is None:
-                    star = g
-            elif tok in agent and (best is None or len(tok) > best[0]):
-                best = (len(tok), g)
-    return best[1] if best else star
+            if tok != "*" and agent.startswith(tok) and len(tok) > best_len:
+                best_len = len(tok)
+    merged: list = []
+    matched = False
+    if best_len >= 0:
+        for g in groups:
+            if any(
+                tok != "*" and len(tok) == best_len and agent.startswith(tok)
+                for tok in g.agents
+            ):
+                merged.extend(g.rules)
+                matched = True
+    else:
+        for g in groups:
+            if "*" in g.agents:
+                merged.extend(g.rules)
+                matched = True
+    return merged if matched else None
 
 
 _SITEMAP_DIRECTIVE_RE = re.compile(r"(?im)^\s*sitemap\s*:\s*(\S+)")
@@ -127,11 +148,11 @@ def robots_allowed(text: str, agent: str, path: str) -> bool:
     precedence (§2.2.2): the rule with the longest pattern wins; on a
     length tie Allow wins; no matching rule (or no matching group) means
     allowed."""
-    group = _select_group(parse_robots(text), agent)
-    if group is None:
+    rules = _select_rules(parse_robots(text), agent)
+    if rules is None:
         return True
     best_len, best_allow = -1, True
-    for allow, _raw, rx, plen in group.rules:
+    for allow, _raw, rx, plen in rules:
         if rx.match(path) and (
             plen > best_len or (plen == best_len and allow and not best_allow)
         ):

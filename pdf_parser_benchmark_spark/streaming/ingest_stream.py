@@ -69,11 +69,14 @@ def stream_ingest_with_manifest(
     """Streaming ingest wired into the SAME operational layer as the batch
     job: each micro-batch extracts, writes through write_extracted (dynamic
     overwrite by split), and appends `complete` rows to the checkpoint
-    manifest — so a downstream batch consumer (or a resumed batch backfill)
-    sees streaming progress through the identical partition-level lineage
-    it already reads. Exactly-once at the file level comes from the
-    streaming checkpoint; the manifest adds the split-level audit trail.
-    Returns the started (availableNow) query."""
+    manifest — the identical partition-level lineage the batch layer reads,
+    recorded under the negated bucketing sentinel (n_splits = -N) because
+    stream split ids are batch-namespaced, not url-hash buckets: a batch
+    resume filtering on n_splits=N sees none of them (and so never skips a
+    hash bucket the stream only partially covered), while stream-side
+    consumers audit progress with n_splits=-N. Exactly-once at the file
+    level comes from the streaming checkpoint; the manifest adds the
+    split-level audit trail. Returns the started (availableNow) query."""
     from ..sources import checkpoint as ckpt
     from ..sources.sink import write_extracted
 
@@ -87,18 +90,35 @@ def stream_ingest_with_manifest(
         # shared split. With it, each batch owns its split range, so a
         # replayed batch (file list pinned by the offset log) overwrites
         # exactly its own partitions: idempotent AND append-safe.
+        # The long->int narrowing below is guarded: at 64 splits the int32
+        # range lasts ~33.5M micro-batches; past that we fail loudly rather
+        # than wrap split ids into other batches' ranges (ADVICE r4).
+        if (int(batch_id) + 1) * n_splits > 2**31 - 1:
+            raise OverflowError(
+                f"split namespace exhausted at batch {batch_id} "
+                f"(n_splits={n_splits}): widen split_id before resuming"
+            )
         df = with_split_id(batch_df, n_splits).withColumn(
             "split_id",
-            (F.lit(batch_id).cast("int") * n_splits + F.col("split_id")).cast("int"),
+            (F.lit(int(batch_id)).cast("long") * n_splits
+             + F.col("split_id")).cast("int"),
         )
         extracted = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
         extracted = extracted.persist()
         try:
             if extracted.isEmpty():
                 return
+            # manifest rows are recorded under the NEGATED bucketing
+            # sentinel (-n_splits): these split ids live in the stream's
+            # batch-namespaced range, NOT the plain pmod(xxhash64(url),
+            # n_splits) buckets — a batch resume filtering on n_splits must
+            # never mistake "stream covered batch 0's files" for "hash
+            # bucket fully done" and skip whole buckets (ADVICE r4: silent
+            # data loss on the interop path). Stream-side consumers read
+            # progress with n_splits=-n_splits.
             write_extracted(extracted, output_dir)
             ckpt.mark_splits_complete(
-                extracted, manifest_dir, f"stream-{batch_id}", n_splits
+                extracted, manifest_dir, f"stream-{batch_id}", -n_splits
             )
         finally:
             extracted.unpersist()

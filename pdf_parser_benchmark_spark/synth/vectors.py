@@ -9,9 +9,10 @@ well-separated cluster centers:
 
     embedding(id) = normalize(center[id % n_clusters] + sigma * noise(id))
 
-Noise is per-row-seeded (`RandomState(seed ^ id)`), so any subset of rows
-is reproducible independent of partitioning — the same discipline as the
-pages corpus. Generation runs distributed via mapInPandas over
+Noise is per-(kind, key)-seeded (`RandomState(seed ^ (2*key+kind))` — see
+`_noise`), so any subset of rows is reproducible independent of
+partitioning — the same discipline as the pages corpus — and corpus rows
+can never alias a query's noise draw. Generation runs distributed via mapInPandas over
 spark.range (never a driver-side materialization): 10⁸ vectors would
 generate the same way, partitioned by range.
 """
@@ -21,11 +22,17 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-VECTORS_VERSION = 2
+VECTORS_VERSION = 3  # v3: structurally disjoint noise-key spaces (ADVICE r4)
 
 VEC_SCHEMA = "vec_id long, label int, embedding array<float>"
 
-_QSEED = 0x5EED  # seed offset for query base vectors
+# noise-key kinds: corpus rows and query base vectors draw from disjoint key
+# spaces BY CONSTRUCTION (even/odd split below), not by offset — the v2
+# scheme keyed queries at 0x5EED+qi, which aliased the corpus row with
+# vec_id == 0x5EED+qi to the identical noise draw (ADVICE r4: a silent
+# ground-truth bias hole if sigma grew or n shrank).
+_KIND_CORPUS = 0
+_KIND_QUERY = 1
 
 
 def _centers(seed: int, n_clusters: int, dim: int) -> np.ndarray:
@@ -34,13 +41,17 @@ def _centers(seed: int, n_clusters: int, dim: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _noise(seed: int, key: int, dim: int) -> np.ndarray:
-    return np.random.RandomState((seed ^ int(key)) & 0x7FFFFFFF).standard_normal(dim)
+def _noise(seed: int, kind: int, key: int, dim: int) -> np.ndarray:
+    """Per-(kind, key) noise: key spaces of different kinds can never
+    collide — the combined key is 2*key+kind, so corpus keys are even and
+    query keys odd for every possible key value."""
+    mixed = (int(seed) ^ (2 * int(key) + int(kind))) & 0x7FFFFFFF
+    return np.random.RandomState(mixed).standard_normal(dim)
 
 
 def _query_raw(seed: int, qi: int, centers: np.ndarray, sigma: float) -> np.ndarray:
     dim = centers.shape[1]
-    return centers[qi % len(centers)] + sigma * _noise(seed, _QSEED + qi, dim)
+    return centers[qi % len(centers)] + sigma * _noise(seed, _KIND_QUERY, qi, dim)
 
 
 def generate_clustered_vectors(
@@ -78,12 +89,12 @@ def generate_clustered_vectors(
                 vid = int(vid)
                 if vid < n:
                     lab = vid % n_clusters
-                    v = centers[lab] + sigma * _noise(seed, vid, dim)
+                    v = centers[lab] + sigma * _noise(seed, _KIND_CORPUS, vid, dim)
                 else:
                     qi = (vid - n) // planted_per_query
                     lab = qi % n_clusters
                     v = _query_raw(seed, qi, centers, sigma)
-                    v = v + planted_delta * _noise(seed, vid, dim)
+                    v = v + planted_delta * _noise(seed, _KIND_CORPUS, vid, dim)
                 vecs[i], labels[i] = v, lab
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             yield pdf.assign(

@@ -127,3 +127,31 @@ def test_gopher_keep_paper_defaults(spark):
     assert got[2] == (False, "word_count")
     assert got[3] == (False, "stop_words")
     assert got[4] == (False, "symbol_ratio")
+
+
+def test_multiple_matching_groups_merge_rules():
+    """RFC 9309 §2.2.1: several groups naming the same winning token (or
+    several `*` groups) combine into one rule set — rules from ALL of them
+    apply (ADVICE r4: previously only the first matching group did)."""
+    txt = (
+        "User-agent: corpusbot\nDisallow: /a/\n\n"
+        "User-agent: corpusbot\nDisallow: /b/\n"
+    )
+    assert not robots_allowed(txt, "corpusbot", "/a/x")
+    assert not robots_allowed(txt, "corpusbot", "/b/x")  # merged, not lost
+    assert robots_allowed(txt, "corpusbot", "/c/x")
+    star2 = "User-agent: *\nDisallow: /p/\n\nUser-agent: *\nDisallow: /q/\n"
+    assert not robots_allowed(star2, "anybot", "/p/1")
+    assert not robots_allowed(star2, "anybot", "/q/1")
+
+
+def test_token_match_is_product_token_prefix():
+    """Token matching anchors to the crawler's product-token prefix: a
+    short token embedded mid-string ('bot' in 'corpusbot') no longer
+    matches, while a true prefix does (ADVICE r4)."""
+    txt = "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\n"
+    # 'bot' is not a prefix of 'corpusbot' -> falls back to the * group
+    assert robots_allowed(txt, "corpusbot", "/page")
+    assert not robots_allowed(txt, "corpusbot", "/tmp/x")
+    # but IS a prefix of 'bot/1.2'
+    assert not robots_allowed(txt, "Bot/1.2", "/page")

@@ -393,3 +393,13 @@ def test_stream_ingest_writes_manifest_and_matches_batch(spark, pages_dir, tmp_p
     done = {r["split_id"] for r in read_completed_splits(spark, man).collect()}
     written = {r["split_id"] for r in got_rows.select("split_id").distinct().collect()}
     assert done == written and done  # every written split is marked complete
+
+    # ADVICE r4 interop fix: stream rows are recorded under the NEGATED
+    # bucketing sentinel, so a batch resume filtering on the plain
+    # n_splits=16 bucketing must see NONE of them (stream split ids are
+    # batch-namespaced, not hash buckets — treating them as completed hash
+    # buckets would silently skip urls the stream never saw), while a
+    # stream-side audit on n_splits=-16 sees them all.
+    assert read_completed_splits(spark, man, n_splits=16).count() == 0
+    stream_rows = read_completed_splits(spark, man, n_splits=-16)
+    assert {r["split_id"] for r in stream_rows.collect()} == written
