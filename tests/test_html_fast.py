@@ -174,3 +174,69 @@ def test_identical_under_corpus_mutations():
             a = [(b.tag, b.text, b.cells, b.path) for b in parse_html_blocks_stdlib(doc)]
             c = [(b.tag, b.text, b.cells, b.path) for b in parse_html_blocks_fast(doc)]
             assert a == c, doc[:200]
+
+
+# --- curated hostile-HTML fixture set (VERDICT r4 item 8) -------------------
+# The mutation fuzzer is generative; these are the named pathological
+# constructs real crawls serve constantly. Both tokenizer paths must agree
+# exactly, and the full extractor must come back with something.
+
+import os as _os
+
+import pytest as _pytest
+
+_HOSTILE_DIR = _os.path.join(_os.path.dirname(__file__), "fixtures", "hostile_html")
+_HOSTILE = sorted(
+    f for f in _os.listdir(_HOSTILE_DIR) if f.endswith(".html")
+)
+
+
+@_pytest.mark.parametrize("name", _HOSTILE)
+def test_hostile_fixture_tokenizers_identical(name):
+    html = open(_os.path.join(_HOSTILE_DIR, name), encoding="utf-8").read()
+    assert _sig(parse_html_blocks_fast(html)) == _sig(
+        parse_html_blocks_stdlib(html)
+    ), name
+
+
+@_pytest.mark.parametrize("name", _HOSTILE)
+def test_hostile_fixture_full_extractor_survives(name):
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        extract_links,
+        extract_main_blocks,
+        extract_media_refs,
+        robots_noindex,
+    )
+
+    html = open(_os.path.join(_HOSTILE_DIR, name), encoding="utf-8").read()
+    blocks = extract_main_blocks(html)
+    assert isinstance(blocks, list)
+    extract_links(html), extract_media_refs(html), robots_noindex(html)
+
+
+def test_hostile_ten_megabyte_single_line_page():
+    """10 MB on ONE line (no newline anywhere): both paths identical and
+    neither blows up on the pathological no-line-break shape. Built in-test
+    so the repo doesn't carry a 10 MB fixture."""
+    cell = "<td>cell text <a href='/x'>ln</a></td>"
+    row = "<tr>" + cell * 8 + "</tr>"
+    para = "<p>filler paragraph with some words in it and a <b>bold</b> run</p>"
+    unit = para + "<table>" + row * 4 + "</table>"
+    body = unit * (10_000_000 // len(unit) + 1)
+    html = "<html><body>" + body + "</body></html>"
+    assert len(html) > 10_000_000 and "\n" not in html
+    assert _sig(parse_html_blocks_fast(html)) == _sig(
+        parse_html_blocks_stdlib(html)
+    )
+
+
+def test_hostile_megabyte_attribute_value():
+    """A 1 MB unquoted-ish attribute value must not stall the tokenizer or
+    desync the two paths."""
+    html = (
+        '<html><body><a href="/l" title="' + "t" * 1_000_000
+        + '">anchor</a><p>after</p></body></html>'
+    )
+    assert _sig(parse_html_blocks_fast(html)) == _sig(
+        parse_html_blocks_stdlib(html)
+    )
