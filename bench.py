@@ -159,6 +159,70 @@ def main() -> None:
             "docs_per_sec": round(n_cls / dt, 1),
         }
 
+    # skewed-corpus extraction lane (VERDICT r4 item 6): auto host salting
+    # was functionally tested but never BENCHED. Here ~50% of docs are
+    # rewritten onto one hot host; the same extraction runs host-partitioned
+    # (a) without salting — the hot host's partition is the straggler the
+    # whole job waits on — and (b) with auto_salted_host_key, which salts
+    # ONLY measured-hot hosts across 16 buckets. Per-partition wall times
+    # come from a timing wrapper around the real extractor, so the spread
+    # is task time, not a row-count proxy.
+    from pdf_parser_benchmark_spark.plans.pipeline import (
+        _extract_batches,
+        auto_salted_host_key,
+    )
+    from pdf_parser_benchmark_spark.sources.checkpoint import with_split_id
+
+    skew_pages = pages.withColumn(
+        "url",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(2)) == 0,
+            F.regexp_replace("url", r"^https?://[^/]+", "https://hot.example"),
+        ).otherwise(F.col("url")),
+    ).persist()
+    skew_pages.count()
+
+    def _timed_partitions(df):
+        def run(batches):
+            import time as _t
+
+            import pandas as _pd
+
+            t0 = _t.monotonic()
+            n = 0
+            for out in _extract_batches(batches):
+                n += len(out)
+            yield _pd.DataFrame([{"docs": n, "sec": _t.monotonic() - t0}])
+
+        return df.mapInPandas(run, "docs long, sec double")
+
+    host_key = F.parse_url(F.col("url"), F.lit("HOST"))
+    skew_lane: dict[str, dict] = {}
+    for lane, key in (
+        ("unsalted_host", host_key),
+        ("auto_salted", auto_salted_host_key(skew_pages)),
+    ):
+        part = with_split_id(skew_pages, 64).repartition(CPUS, key)
+        _timed_partitions(part).count()  # warm
+        t0 = time.monotonic()
+        rows = [
+            (r["docs"], r["sec"])
+            for r in _timed_partitions(part).collect()
+            if r["docs"] > 0
+        ]
+        wall = time.monotonic() - t0
+        secs = sorted(s for _, s in rows)
+        med = secs[len(secs) // 2] if secs else 0.0
+        skew_lane[lane] = {
+            "wall_sec": round(wall, 3),
+            "busy_partitions": len(rows),
+            "max_task_sec": round(max(secs), 3) if secs else 0.0,
+            "median_task_sec": round(med, 3),
+            "straggler_spread": round(max(secs) / med, 2) if med else None,
+            "max_partition_docs": max(d for d, _ in rows) if rows else 0,
+        }
+    skew_pages.unpersist()
+
     # honest-scale ANN lane (VERDICT r3 item 7): recall + wall time over a
     # 100k-vector clustered corpus with planted ground-truth neighbors
     # (corpus parquet cached in /tmp across rounds; see synth/vectors.py)
@@ -283,6 +347,7 @@ def main() -> None:
                 "warc_docs_per_sec": round(n_warc / t_warc, 1),
                 "extract_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
                 "extract_by_class": extract_by_class,
+                "skew_extract": skew_lane,
                 "ann_100k": ann_100k,
                 "queries_warm": warm_timings,
                 "corpus_version": CORPUS_VERSION,

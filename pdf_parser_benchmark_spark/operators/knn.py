@@ -71,6 +71,42 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
+def _np_nearest(vecs32, cents32):
+    """numpy twin of the relational nearest-centroid assignment, matching
+    l2_sq + F.round + (d2 asc, cid asc) bit-for-bit in the cases that
+    matter: float32 elementwise squared diffs (zip_with over array<float>),
+    float64 SEQUENTIAL fold (F.aggregate from lit(0.0)), HALF_UP round to
+    9 on the binary value (F.round semantics up to shortest-decimal-repr
+    midpoint corner cases), argmin with ties to the lowest cid
+    (np.argmin's first occurrence). Pinned against the JVM path by
+    tests/test_kmeans.py's independent twin and the pq/ivf pinned oracles."""
+    import numpy as np
+
+    n, dim = vecs32.shape
+    d2 = np.zeros((n, cents32.shape[0]))
+    for i in range(dim):
+        diff = vecs32[:, i, None] - cents32[None, :, i]  # float32, as zip_with
+        d2 += (diff * diff).astype(np.float64)           # widen after f32 mult
+    d2 = np.floor(d2 * 1e9 + 0.5) / 1e9                  # HALF_UP to 9
+    return np.argmin(d2, axis=1)
+
+
+def _round6_f32(mean_vec) -> list[float]:
+    """F.round(x, 6) then cast to array<float>, replicated: HALF_UP on the
+    shortest-decimal repr (BigDecimal.valueOf semantics), then a float32
+    narrowing — the exact value chain the former relational centroid
+    recompute produced."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q6 = Decimal("1e-6")
+    return [
+        float(np.float32(float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))))
+        for x in mean_vec
+    ]
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -78,21 +114,27 @@ def kmeans_fit(
     k: int = 4,
     iterations: int = 4,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means as DataFrame iterations (the proper IVF
-    coarse quantizer; `centroids_by` is the cheap label-based stand-in).
+    """Deterministic Lloyd's k-means, fully vectorized (r5): each iteration
+    is ONE numpy mapInPandas pass over the corpus — per Arrow batch the
+    centroids (shipped in the closure: k·dim floats) are assigned with
+    `_np_nearest` and the per-cluster partial sums are accumulated with
+    np.add.at, so only k bounded rows reach the driver, which combines and
+    rounds the means HALF_UP to 6 decimals + float32 (`_round6_f32` — the
+    identical value chain the relational recompute produced, so centroids
+    and every pinned oracle downstream are unchanged). Zero shuffle, zero
+    per-row Python, no posexplode row blowup, and — the r5 finding — no
+    O(k·dim) driver-side Column-literal construction, which at k=16·dim=64
+    cost seconds of py4j round-trips per iteration before any execution.
 
-    Each iteration: broadcast the k centroids → assign each vector to the
-    nearest (squared L2, ties to lowest cid) → recompute element-wise means
-    (posexplode+groupBy, map-side partial) → round to 6 decimals (pins
-    determinism against float summation order) → collect k×dim floats to
-    the driver for the next broadcast. Init = the k lowest-id vectors.
-    Fixed iteration count, no data-dependent stopping — reruns and
-    different partitionings produce identical centroids.
+    Init = the k lowest-id vectors rounded to 6; fixed iteration count, no
+    data-dependent stopping — reruns and different partitionings produce
+    identical centroids. Empty clusters keep their previous centroid.
 
     Returns the assignment DataFrame (id, cid) — centroids are in
     `kmeans_fit.last_centroids` after the call (list of (cid, [floats])).
     """
-    spark = corpus.sparkSession
+    import numpy as np
+
     init = [
         (i, [round(float(v), 6) for v in r[vec_col]])
         for i, r in enumerate(
@@ -100,58 +142,67 @@ def kmeans_fit(
         )
     ]
     centroids = init
+    vecs_df = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    )
 
-    def assign(cents):
-        # Zero-shuffle nearest-centroid: the k centroids are a LITERAL
-        # array<struct<cid,centroid>> column, per-row distances are an
-        # in-row transform, and argmin is array_min over struct(d2, cid)
-        # (lexicographic — same (d2 asc, cid asc) tie-break as the former
-        # crossJoin+row_number, without materializing k rows per vector or
-        # the window's hash exchange; at 10^12 vectors that exchange IS the
-        # training cost).
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(
-                        *[F.lit(float(v)).cast("float") for v in vec]
-                    ).alias("centroid"),
+    def _partials_pass(cvals):
+        C = np.asarray(cvals, dtype=np.float32)
+
+        def gen(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for b in batches:
+                if not len(b):
+                    continue
+                vecs = _np.stack(b["__v"].to_numpy()).astype(_np.float32)
+                cid = _np_nearest(vecs, C)
+                acc = _np.zeros((k, vecs.shape[1]))
+                cnt = _np.zeros(k, dtype=_np.int64)
+                _np.add.at(acc, cid, vecs.astype(_np.float64))
+                _np.add.at(cnt, cid, 1)
+                nz = _np.nonzero(cnt)[0]
+                yield _pd.DataFrame(
+                    {"cid": nz, "n": cnt[nz], "sums": [acc[i] for i in nz]}
                 )
-                for cid, vec in cents
-            ]
-        )
-        best = F.array_min(
-            F.transform(
-                carr,
-                lambda c: F.struct(
-                    F.round(l2_sq(F.col(vec_col), c["centroid"]), 9).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return corpus.select(id_col, best["cid"].alias("cid"), vec_col)
+
+        return vecs_df.mapInPandas(gen, "cid int, n long, sums array<double>")
 
     for _ in range(iterations):
-        assigned = assign(centroids)
-        new = (
-            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("dim", "v"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("v").alias("mv"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                    lambda s: F.round(s["mv"], 6).cast("float"),
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        got = {r["cid"]: [float(v) for v in r["centroid"]] for r in new}
-        # empty clusters keep their previous centroid
-        centroids = [(cid, got.get(cid, vec)) for cid, vec in centroids]
+        tot: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in _partials_pass([v for _, v in centroids]).collect():
+            c = int(r["cid"])
+            s = np.asarray(r["sums"], dtype=np.float64)
+            tot[c] = tot[c] + s if c in tot else s
+            cnt[c] = cnt.get(c, 0) + int(r["n"])
+        centroids = [
+            (cid, _round6_f32(tot[cid] / cnt[cid]) if cid in tot else vec)
+            for cid, vec in centroids
+        ]
 
     kmeans_fit.last_centroids = centroids
-    return assign(centroids).select(id_col, "cid")
+    Cfinal = np.asarray([v for _, v in centroids], dtype=np.float32)
+
+    def assign_gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            vecs = _np.stack(b["__v"].to_numpy()).astype(_np.float32)
+            yield _pd.DataFrame(
+                {
+                    "__id": b["__id"].to_numpy(),
+                    "cid": _np_nearest(vecs, Cfinal).astype(_np.int32),
+                }
+            )
+
+    return vecs_df.mapInPandas(assign_gen, "__id long, cid int").select(
+        F.col("__id").alias(id_col), "cid"
+    )
 
 
 def ivf_topk_kmeans(
@@ -213,16 +264,19 @@ def pq_fit(
 
     → (codebooks (s, cid, centroid array<float>), encoded (pqid, c0..c{m-1})).
 
-    Training is JOINT across subspaces (r5): one explode of the corpus to
-    (pqid, s, subvec), then Lloyd's over the compound key (s, cid) — each
-    iteration is ONE Spark job over m·n rows instead of m independent fits
-    of iterations jobs each (the m-sequential shape was pure job-overhead:
-    ~3.7 s per subspace at 100k vectors, dominated by scheduling not data).
-    Per-subspace semantics are unchanged: init = the k lowest-id vectors'
-    slices rounded to 6, assignment = squared-L2 rounded to 9 with ties to
-    lowest cid (in-row array_min — zero shuffle), recompute = per-(s, cid)
-    element-wise mean rounded to 6; empty clusters keep their previous
-    centroid."""
+    Training is JOINT across subspaces and fully vectorized (r5): each
+    Lloyd iteration is ONE numpy mapInPandas pass over the raw corpus —
+    per Arrow batch, vectors are sliced into their m subvectors, assigned
+    with `_np_nearest` against the closure-shipped codebooks, and reduced
+    to (s, cid) partial sums; only m·k bounded rows reach the driver.
+    The encode step is a second numpy scan emitting (pqid, c0..c{m-1})
+    directly. Zero shuffle, zero explode, and none of the O(m·k·sub)
+    driver-side Column-literal construction that made the previous shapes
+    seconds-per-iteration before any execution. Per-subspace semantics are
+    unchanged (init = the k lowest-id vectors' slices rounded to 6,
+    squared-L2 rounded to 9 with ties to lowest cid, means rounded to
+    6 + float32 via `_round6_f32`); empty clusters keep their previous
+    centroid — pinned oracles downstream hold."""
     spark = corpus.sparkSession
     sub = dim // m
 
@@ -233,87 +287,94 @@ def pq_fit(
         for s in range(m):
             cents[(s, cid)] = full[s * sub : (s + 1) * sub]
 
-    exploded = corpus.select(
-        F.col(id_col).alias("pqid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select("pqid", "x.s", "x.sv").persist()  # read once, iterated 1+its times
-    # (released by the caller's clearCache/release pass; bench does this)
+    import numpy as np
 
-    def assign(cc: dict) -> DataFrame:
-        # literal array indexed by s of (array of (cid, centroid) structs);
-        # per row: pick this subspace's codebook, in-row argmin over
-        # struct(d2, cid) — lexicographic min == (d2 asc, cid asc).
-        by_s = F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(cid).alias("cid"),
-                            F.array(
-                                *[F.lit(float(v)).cast("float") for v in cc[(s, cid)]]
-                            ).alias("centroid"),
-                        )
-                        for cid in range(k)
-                    ]
+    vecs_df = corpus.select(
+        F.col(id_col).cast("long").alias("pqid"), F.col(vec_col).alias("__v")
+    )
+
+    def _partials_pass(cc: dict) -> DataFrame:
+        # all m subspaces in ONE numpy pass per iteration: per batch, slice
+        # each vector into its m subvectors, `_np_nearest` against that
+        # subspace's codebook, np.add.at partial sums keyed (s, cid) —
+        # m·k bounded rows reach the driver; zero shuffle, zero explode.
+        C = np.asarray(
+            [[cc[(s, cid)] for cid in range(k)] for s in range(m)],
+            dtype=np.float32,
+        )
+
+        def gen(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for b in batches:
+                if not len(b):
+                    continue
+                vecs = _np.stack(b["__v"].to_numpy()).astype(_np.float32)
+                acc = _np.zeros((m, k, sub))
+                cnt = _np.zeros((m, k), dtype=_np.int64)
+                for s in range(m):
+                    sv = vecs[:, s * sub : (s + 1) * sub]
+                    cid = _np_nearest(sv, C[s])
+                    _np.add.at(acc[s], cid, sv.astype(_np.float64))
+                    _np.add.at(cnt[s], cid, 1)
+                ss, cs = _np.nonzero(cnt)
+                yield _pd.DataFrame(
+                    {
+                        "s": ss,
+                        "cid": cs,
+                        "n": cnt[ss, cs],
+                        "sums": [acc[a, b_] for a, b_ in zip(ss, cs)],
+                    }
                 )
-                for s in range(m)
-            ]
+
+        return vecs_df.mapInPandas(
+            gen, "s int, cid int, n long, sums array<double>"
         )
-        best = F.array_min(
-            F.transform(
-                F.element_at(by_s, F.col("s") + 1),
-                lambda c: F.struct(
-                    F.round(l2_sq(F.col("sv"), c["centroid"]), 9).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return exploded.select("pqid", "s", "sv", best["cid"].alias("cid"))
 
     for _ in range(iterations):
-        new = (
-            assign(cents)
-            .select("s", "cid", F.posexplode("sv").alias("dim", "v"))
-            .groupBy("s", "cid", "dim")
-            .agg(F.avg("v").alias("mv"))
-            .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                    lambda z: F.round(z["mv"], 6).cast("float"),
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        got = {(r["s"], r["cid"]): [float(v) for v in r["centroid"]] for r in new}
-        cents = {key: got.get(key, vec) for key, vec in cents.items()}
+        tot: dict[tuple[int, int], np.ndarray] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in _partials_pass(cents).collect():
+            key = (int(r["s"]), int(r["cid"]))
+            sm = np.asarray(r["sums"], dtype=np.float64)
+            tot[key] = tot[key] + sm if key in tot else sm
+            cnt[key] = cnt.get(key, 0) + int(r["n"])
+        cents = {
+            key: _round6_f32(tot[key] / cnt[key]) if key in tot else vec
+            for key, vec in cents.items()
+        }
 
     cb = spark.createDataFrame(
         [(s, cid, vec) for (s, cid), vec in sorted(cents.items())],
         "s int, cid int, centroid array<float>",
     )
-    enc = (
-        assign(cents)
-        .groupBy("pqid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "cid"))),
-                lambda z: z["cid"],
-            ).alias("cs")
-        )
-        .select(
-            "pqid", *[F.col("cs")[s].alias(f"c{s}") for s in range(m)]
-        )
+
+    # encode pass: (pqid, c0..c{m-1}) directly from one numpy scan — no
+    # explode, no groupBy pivot
+    Cfinal = np.asarray(
+        [[cents[(s, cid)] for cid in range(k)] for s in range(m)],
+        dtype=np.float32,
+    )
+
+    def encode_gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            vecs = _np.stack(b["__v"].to_numpy()).astype(_np.float32)
+            cols = {"pqid": b["pqid"].to_numpy()}
+            for s in range(m):
+                cols[f"c{s}"] = _np_nearest(
+                    vecs[:, s * sub : (s + 1) * sub], Cfinal[s]
+                ).astype(_np.int32)
+            yield _pd.DataFrame(cols)
+
+    enc = vecs_df.mapInPandas(
+        encode_gen,
+        "pqid long, " + ", ".join(f"c{s} int" for s in range(m)),
     )
     return cb, enc
 
