@@ -831,6 +831,26 @@ def q_pq_topk_lut(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("opq_topk")  # iterative fit + SVD rotation — pinned oracle
+def q_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimized Product Quantization (Ge et al. 2013): an orthogonal
+    rotation learned by alternating Procrustes/PQ on a bounded driver-side
+    sample, PQ over the rotated corpus, broadcast-LUT ADC candidates, and
+    an exact cosine re-rank on the ORIGINAL vectors (rotation preserves
+    distances). Closes the VERDICT r4 ANN-refinement gap; pinned like the
+    other iterative fits."""
+    from .operators.knn import opq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return opq_topk(
+        queries, corpus, k=3, iterations=2, rerank=10, opq_iterations=3
+    ).select("qid", "vec_id", "score", "rank")
+
+
 @query(
     "ivf_recall",
     f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -527,3 +527,69 @@ def test_two_phase_cc_long_chain_and_equivalence(spark):
         for r in connected_components_two_phase(nodes2, edges2).collect()
     }
     assert got2 == expect
+
+
+def test_opq_rotation_is_orthogonal_and_reduces_quantization_error(spark):
+    """OPQ contract (Ge et al. 2013): the learned R is orthogonal, and PQ
+    quantization error on the ROTATED data is no worse than on the raw
+    data for anisotropic inputs whose correlated dimensions straddle the
+    subspace boundaries — the exact failure mode OPQ exists to fix."""
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.operators.knn import opq_rotation
+
+    rng = np.random.RandomState(11)
+    dim, m, codes, n = 16, 4, 8, 600
+    # anisotropic: a random linear mix spreads variance across subspaces
+    A = rng.standard_normal((dim, dim))
+    X = rng.standard_normal((n, dim)) @ (A * ([3, 1] * (dim // 2)))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    R = opq_rotation(df, m=m, dim=dim, codes=codes, opq_iterations=4,
+                     sample_n=n)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-4)
+
+    def pq_mse(Z):
+        sub = dim // m
+        err = 0.0
+        for s in range(m):
+            zs = Z[:, s * sub : (s + 1) * sub]
+            cents = zs[:codes].copy()
+            for _ in range(3):
+                a = np.argmin(((zs[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+                for c in range(codes):
+                    if (a == c).any():
+                        cents[c] = zs[a == c].mean(axis=0)
+            a = np.argmin(((zs[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+            err += ((zs - cents[a]) ** 2).sum()
+        return err / len(Z)
+
+    Xf = X.astype(np.float32).astype(np.float64)
+    assert pq_mse(Xf @ R.astype(np.float64)) <= pq_mse(Xf) * 1.001
+
+
+def test_opq_topk_cluster_precision_and_schema(spark):
+    """opq_topk end-to-end on clustered data: same cluster-retrieval
+    contract as pq_topk, exact-rerank schema (qid, vec_id, score, rank)."""
+    import random
+
+    from pdf_parser_benchmark_spark.operators.knn import opq_topk
+
+    rng = random.Random(5)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.05)) for x in centers[i % 8]])
+        for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    res = opq_topk(queries, corpus, k=5, rerank=20, opq_iterations=2,
+                   sample_n=156).collect()
+    assert len(res) == 20
+    assert all(r["vec_id"] % 8 == r["qid"] % 8 for r in res)
+    assert {r["rank"] for r in res} == {1, 2, 3, 4, 5}
