@@ -55,6 +55,15 @@ def write_extracted(
     them complete — silent data loss on resume.
     """
     spark = df.sparkSession
+    # Colocate each split's rows into one task before the partitioned
+    # write: without this, EVERY upstream task writes a part file into
+    # EVERY split directory it touches — the r5 10M-doc pipeline smoke
+    # measured 524,288 files for 256 splits (2048 tasks × 256 splits), the
+    # classic small-files failure that kills a 10^12-row table. The hash
+    # repartition moves the (smaller, post-extraction) output once and
+    # yields ~one file per split; `spark.sql.shuffle.partitions` tasks
+    # each write the whole splits they own.
+    df = df.repartition(F.col(partition_col))
     if is_table_identifier(path_or_table):
         writer = df.writeTo(path_or_table).partitionedBy(F.col(partition_col))
         if _table_exists(spark, path_or_table):

@@ -137,6 +137,16 @@ def test_output_compaction(spark, pages, tmp_path):
     out, mani = str(tmp_path / "outD"), str(tmp_path / "maniD")
     run_pipeline(spark, pages, out, mani, n_splits=4, commit_batches=4,
                  n_tasks=8)
+    # r5: write_extracted now colocates splits (no small-files blowup), so
+    # fragmentation must be synthesized: split every split's single file
+    # into per-row appends, the state a foreign writer (or many tiny
+    # incremental batches) leaves behind
+    rows = spark.read.parquet(out)
+    out = str(tmp_path / "outD_frag")
+    half_a = rows.filter(F.crc32(F.col("url")) % 2 == 0)
+    half_b = rows.filter(F.crc32(F.col("url")) % 2 == 1)
+    half_a.write.mode("append").partitionBy("split_id").parquet(out)
+    half_b.write.mode("append").partitionBy("split_id").parquet(out)
     before = {r["split_id"]: r["n_files"]
               for r in output_file_stats(spark, out).collect()}
     assert any(n > 1 for n in before.values())
@@ -245,3 +255,28 @@ def test_compaction_latest_wins_and_crash_recovery(spark, tmp_path):
     os.rename(mdir, mdir + ".old")
     assert ckpt.read_completed_splits(spark, mdir, n_splits=8).count() == 1
     assert os.path.isdir(mdir) and not os.path.isdir(mdir + ".old")
+
+
+def test_write_extracted_no_small_files_blowup(spark, tmp_path):
+    """Small-files invariant (r5, found by the 10M pipeline smoke: 2048
+    tasks × 256 splits = 524,288 part files): write_extracted colocates
+    each split before the partitioned write, so the part-file count scales
+    with the number of SPLITS, not tasks × splits."""
+    import glob
+
+    from pdf_parser_benchmark_spark.sources.sink import write_extracted
+
+    n_splits, n_parts = 8, 16
+    rows = [(i, f"u{i}", i % n_splits) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc int, url string, split_id int"
+    ).repartition(n_parts)  # many upstream tasks, each touching every split
+    out = str(tmp_path / "sink_files")
+    write_extracted(df, out)
+    parts = glob.glob(f"{out}/split_id=*/part-*")
+    dirs = glob.glob(f"{out}/split_id=*")
+    assert len(dirs) == n_splits
+    # without colocation this would be up to n_parts*n_splits = 128 files
+    assert len(parts) <= n_splits + 2, f"{len(parts)} part files"
+    got = spark.read.parquet(out).count()
+    assert got == 400
