@@ -7,16 +7,26 @@ extraction stack could not open; this container has no PIL, so the decoder
 must be from scratch (VERDICT r4 item 4). Mirrors the PNG discipline in
 binary_ops: real encoder (synth fixtures) + real decoder + pinned oracles.
 
-Scope — baseline sequential DCT (SOF0), 8-bit samples:
-- grayscale (1 component) and YCbCr color (3 components),
-- 4:4:4 and 4:2:0 chroma subsampling (sampling factors 1 or 2),
+Scope — 8-bit samples:
+- baseline sequential DCT (SOF0): grayscale and YCbCr color, 4:4:4 and
+  4:2:0 chroma subsampling (sampling factors 1 or 2), restart intervals
+  (DRI/RSTn) on both sides,
+- PROGRESSIVE DCT (SOF2, r5): full decode — spectral selection,
+  successive approximation (DC + AC first/refinement scans, EOBRUN,
+  §G.2/G.1.2) with any baseline-legal sampling for DC scans; and a
+  progressive ENCODER (1×1 sampling, scan script DC→AC bands 1-5/6-63,
+  optional one-level successive approximation, per-scan Huffman tables
+  built from the true symbol stream) whose streams carry exactly the
+  quantized coefficients of the baseline encoder — the differential
+  identity test in test_multimodal decodes both and requires IDENTICAL
+  pixels,
 - standard Annex K quantization tables scaled by quality (the libjpeg
   50-point pivot formula, itself from the spec's example tables),
-- standard Annex K.3.3 Huffman tables on encode; arbitrary DHT on decode,
-- restart intervals (DRI/RSTn) on both sides,
+- standard Annex K.3.3 Huffman tables on baseline encode; arbitrary DHT
+  on decode,
 - byte stuffing (0xFF 0x00) per §B.1.1.5.
 
-Decoder rejects progressive (SOF2) and arithmetic-coded streams with
+Decoder rejects lossless/hierarchical/arithmetic-coded streams with
 ValueError — poison-tolerant callers route that to `decode_error`.
 
 Everything is deterministic: fixed tables, fixed np.round (ties-to-even)
@@ -438,11 +448,13 @@ def _parse_segments(d: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     restart = 0
     frame = None
+    progressive = False
+    prog: dict | None = None  # per-component zigzag coefficient arrays
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = d[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         seg = d[pos + 4 : pos + 2 + seglen]
@@ -474,7 +486,7 @@ def _parse_segments(d: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -483,9 +495,12 @@ def _parse_segments(d: bytes) -> np.ndarray:
                 cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sf >> 4, sf & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _prog_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith) unsupported")
+            raise ValueError("non-baseline JPEG (lossless/arith) unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -494,8 +509,16 @@ def _parse_segments(d: bytes) -> np.ndarray:
             for ci in range(ns):
                 cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(d, pos, frame, scan, qt, huff, restart)
+            if not progressive:
+                return _decode_scan(d, pos, frame, scan, qt, huff, restart)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                d, pos, frame, scan, (ss, se, ahal >> 4, ahal & 0x0F),
+                huff, restart, prog,
+            )
         # else: APPn/COM — skipped
+    if progressive and prog is not None and prog["any_scan"]:
+        return _prog_reconstruct(frame, prog, qt)
     raise ValueError("no SOS marker")
 
 
@@ -554,6 +577,13 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
+    return _assemble_planes(frame, planes, hmax, vmax)
+
+
+def _assemble_planes(frame, planes, hmax, vmax):
+    """(component planes → cropped/upsampled gray or RGB uint8) — shared by
+    the baseline and progressive reconstruction paths."""
+    fh, fw, comps = frame
     outs = []
     for cid, sh, sv, _tq in comps:
         p = planes[cid]
@@ -568,3 +598,542 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) decoding -------------------------------------------
+# Spec refs: ITU-T T.81 §G.2 (decoder), G.1.2.2 (DC successive
+# approximation), G.1.2.3 (AC first/refinement scans with EOBRUN).
+
+
+def _prog_init(frame) -> dict:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    coef = {}
+    dims = {}
+    for cid, sh, sv, _tq in comps:
+        bw_pad, bh_pad = mcux * sh, mcuy * sv
+        # non-interleaved block dims (§A.2.2): ceil(ceil(dim·s/smax)/8)
+        comp_w = -(-fw * sh // hmax)
+        comp_h = -(-fh * sv // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        coef[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+        dims[cid] = (bw, bh, bw_pad, bh_pad)
+    return {
+        "coef": coef, "dims": dims,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "any_scan": False,
+    }
+
+
+def _skip_to_marker(d: bytes, pos: int) -> int:
+    """Advance past entropy data (incl. stuffed FF00 and RSTn) to the next
+    true marker's 0xFF byte."""
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00 and not (
+            0xD0 <= d[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _decode_progressive_scan(d, pos, frame, scan, params, huff, restart, prog):
+    ss, se, ah, al = params
+    fh, fw, comps = frame
+    byid = {cid: (sh, sv, tq) for cid, sh, sv, tq in comps}
+    coef = prog["coef"]
+    prog["any_scan"] = True
+    br = _BitReader(d, pos)
+    state = {"eobrun": 0}
+
+    def dc_table(td):
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("missing DC Huffman table")
+        return t
+
+    def ac_table(ta):
+        t = huff.get((1, ta))
+        if t is None:
+            raise ValueError("missing AC Huffman table")
+        return t
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        preds = {cs: 0 for cs, _td, _ta in scan}
+        if len(scan) > 1:  # interleaved DC scan, MCU order
+            mcu_count = 0
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    if restart and mcu_count and mcu_count % restart == 0:
+                        br.align_to_rst()
+                        preds = {cs: 0 for cs in preds}
+                    for cs, td, _ta in scan:
+                        sh, sv, _tq = byid[cs]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blk = coef[cs][my * sv + by, mx * sh + bx]
+                                _dc_block(br, blk, dc_table(td), preds, cs,
+                                          ah, al)
+                    mcu_count += 1
+        else:
+            cs, td, _ta = scan[0]
+            bw, bh, _bwp, _bhp = prog["dims"][cs]
+            blk_count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and blk_count and blk_count % restart == 0:
+                        br.align_to_rst()
+                        preds = {cs: 0}
+                    _dc_block(br, coef[cs][by, bx], dc_table(td), preds, cs,
+                              ah, al)
+                    blk_count += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans are non-interleaved (§G.1)")
+        cs, _td, ta = scan[0]
+        bw, bh, _bwp, _bhp = prog["dims"][cs]
+        tab = ac_table(ta)
+        blk_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and blk_count and blk_count % restart == 0:
+                    br.align_to_rst()
+                    state["eobrun"] = 0
+                blk = coef[cs][by, bx]
+                if ah == 0:
+                    _ac_first_block(br, blk, tab, ss, se, al, state)
+                else:
+                    _ac_refine_block(br, blk, tab, ss, se, al, state)
+                blk_count += 1
+
+    return _skip_to_marker(d, br.pos)
+
+
+def _dc_block(br, blk, tab, preds, cs, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff, point-transformed
+        t = _huff_decode(br, tab)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        preds[cs] += diff
+        blk[0] = preds[cs] << al
+    else:  # refinement: one raw bit per block (G.1.2.2)
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_block(br, blk, tab, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1  # EOBn (G.1.2.3)
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, blk, tab, ss, se, al, state):
+    """G.1.2.3 AC refinement: correction bits for already-nonzero history
+    coefficients, newly-significant ±1<<Al insertions, EOBRUN blocks still
+    consume correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def corr_walk(k):
+        """read correction bits for every history coefficient k..se"""
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+
+    k = ss
+    if state["eobrun"] > 0:  # block fully inside a previous EOBn run
+        corr_walk(k)
+        state["eobrun"] -= 1
+        return
+    hit_eob = False
+    while k <= se:
+        rs = _huff_decode(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: covers THIS block (tail walk below, no
+                # decrement — the stored count is for FOLLOWING blocks)
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                hit_eob = True
+                break
+            # ZRL: skip 16 zero-HISTORY coefficients
+            val = 0
+        else:
+            if s != 1:
+                raise ValueError("bad refinement magnitude")
+            val = p1 if br.read_bit() else m1
+        while k <= se:
+            if blk[k] != 0:  # history coefficient: correction bit
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+        else:
+            break
+        # the for/while dance mirrors libjpeg's decode_mcu_AC_refine
+    if hit_eob:
+        corr_walk(k)
+
+
+def _prog_reconstruct(frame, prog, qt):
+    fh, fw, comps = frame
+    planes = {}
+    for cid, sh, sv, tq in comps:
+        carr = prog["coef"][cid]
+        bh_pad, bw_pad = carr.shape[0], carr.shape[1]
+        plane = np.zeros((bh_pad * 8, bw_pad * 8))
+        q = qt[tq]
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                zz = carr[by, bx]
+                c = (zz[_UNZIGZAG].reshape(8, 8) * q).astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ c @ _A + 128.0
+                )
+        planes[cid] = plane
+    return _assemble_planes(frame, planes, prog["hmax"], prog["vmax"])
+
+
+# --- progressive (SOF2) encoding -------------------------------------------
+# Spectral selection + successive approximation (ITU-T T.81 §G.1), scan
+# script: interleaved DC-first (point transform Al), DC refinement, then
+# per-component AC band scans (1-5, 6-63) at Al followed by their
+# refinement scans. Per-scan Huffman tables are built from the actual
+# symbol stream (equal-length canonical codes — valid, decodable, spec-
+# legal; the standard Annex K tables lack the EOBn symbols progressive
+# scans need). Sampling is 1x1 (gray or 4:4:4): progressive AC scans are
+# non-interleaved by spec, and 1x1 keeps DC MCU order == raster order.
+
+
+def _build_equal_length_table(symbols):
+    """Canonical Huffman table over the distinct symbols, all codes the
+    same length L = ceil(log2(n+1)) — never assigns the all-ones code."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    lng = 1
+    while (1 << lng) - 1 < n:
+        lng += 1
+    bits = [0] * 16
+    bits[lng - 1] = n
+    return bits, syms
+
+
+class _ScanOps:
+    """Buffered scan: records (symbol, extra-bit) ops so the Huffman table
+    can be built from the true symbol distribution, then serialized."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple[str, int, int]] = []  # ("sym", s, 0)|("bits", v, n)
+        self.symbols: list[int] = []
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("sym", s, 0))
+        self.symbols.append(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("bits", v, n))
+
+    def serialize(self, bw: "_BitWriter", codes) -> None:
+        for kind, a, b in self.ops:
+            if kind == "sym":
+                c, ln = codes[a]
+                bw.write(c, ln)
+            else:
+                bw.write(a, b)
+
+
+def _quantized_blocks(comps, ql, qc, w, h):
+    """Per component: (bh, bw, 64) int32 zigzag coefficient array."""
+    out = []
+    for ci, plane in enumerate(comps):
+        q = ql if ci == 0 else qc
+        bh, bwid = -(-h // 8), -(-w // 8)
+        pad = np.pad(
+            plane, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge"
+        ) - 128.0
+        arr = np.zeros((bh, bwid, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bwid):
+                block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                zz = np.round((_A @ block @ _A.T) / q).astype(np.int32)
+                arr[by, bx] = zz.reshape(64)[_ZIGZAG]
+        out.append(arr)
+    return out
+
+
+def _enc_dc_first(arrs, al):
+    ops = [None] * len(arrs)
+    dcops = [_ScanOps() for _ in arrs]
+    preds = [0] * len(arrs)
+    bh, bwid = arrs[0].shape[0], arrs[0].shape[1]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, arr in enumerate(arrs):
+                v = int(arr[by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - preds[ci]
+                preds[ci] = v
+                t, bits = _magnitude(diff)
+                dcops[ci].sym(t)
+                dcops[ci].bits(bits, t)
+    return dcops
+
+
+def _enc_ac_scan(arr, ss, se, ah, al):
+    """One component's AC scan ops: first scan (ah==0) or refinement."""
+    ops = _ScanOps()
+    eobrun = 0
+    br_bits: list[int] = []
+
+    def emit_eobrun():
+        nonlocal eobrun, br_bits
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            ops.sym(nb << 4)
+            ops.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+            for b in br_bits:
+                ops.bits(b, 1)
+            br_bits = []
+
+    bh, bwid = arr.shape[0], arr.shape[1]
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = arr[by, bx]
+            if ah == 0:  # first scan at this Al
+                r = 0
+                any_sym = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    if eobrun:
+                        emit_eobrun()
+                    while r > 15:
+                        ops.sym(0xF0)
+                        r -= 16
+                    s, bits = _magnitude(t)
+                    ops.sym((r << 4) | s)
+                    ops.bits(bits, s)
+                    r = 0
+                    any_sym = True
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+            else:  # refinement scan (ah = al+1 conceptually; bits at al)
+                r = 0
+                # correction bits as (zeros_before_within_run, bit): the
+                # decoder consumes a history coefficient's bit during the
+                # symbol WALK that crosses it — a ZRL's walk ends after its
+                # 16th zero, so bits whose position lies past that span
+                # belong to the NEXT symbol, not to this ZRL (the r5 desync
+                # bug: flushing everything after the first ZRL)
+                pend: list[tuple[int, int]] = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:  # already significant: buffered correction bit
+                        pend.append((r, (abs(v) >> al) & 1))
+                        continue
+                    # newly significant (t == 1)
+                    if eobrun:
+                        emit_eobrun()
+                    while r > 15:
+                        ops.sym(0xF0)
+                        keep = []
+                        for pz, b in pend:
+                            if pz < 16:
+                                ops.bits(b, 1)
+                            else:
+                                keep.append((pz - 16, b))
+                        pend = keep
+                        r -= 16
+                    ops.sym((r << 4) | 1)
+                    ops.bits(1 if v > 0 else 0, 1)
+                    for _pz, b in pend:
+                        ops.bits(b, 1)
+                    pend = []
+                    r = 0
+                if r > 0 or pend:
+                    eobrun += 1
+                    br_bits.extend(b for _pz, b in pend)
+                    if eobrun == 0x7FFF or len(br_bits) > 900:
+                        emit_eobrun()
+    emit_eobrun()
+    return ops
+
+
+def _emit_scan(out, ops_per_table, sos_comps, ss, se, ah, al, cls):
+    """DHT(s) for this scan (equal-length tables from the true symbol
+    stream) + SOS header + entropy data."""
+    codes_by_tid = {}
+    for tid, ops in ops_per_table.items():
+        bits, syms = _build_equal_length_table(ops.symbols or [0])
+        out += _dht_segment(cls, tid, (bits, syms))
+        codes_by_tid[tid] = _canonical_codes(bits, syms)
+    sos = bytes([len(sos_comps)])
+    for cid, tid in sos_comps:
+        sos += bytes([cid, (tid << 4) if cls == 0 else tid])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    if len(sos_comps) > 1:  # interleaved DC: ops already in MCU order,
+        # but they were buffered per component — interleave by replaying
+        # is handled by caller passing a single merged ops; not used here
+        raise AssertionError("interleaved emission handled by _emit_dc_scan")
+    (_cid, tid0) = sos_comps[0]
+    ops_per_table[tid0].serialize(bw, codes_by_tid[tid0])
+    bw.flush()
+    out += bw.out
+    return out
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray, quality: int = 75, successive: bool = True
+) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 as PROGRESSIVE JFIF
+    (SOF2): spectral selection (DC; AC 1-5; AC 6-63) and, with
+    successive=True, one level of successive approximation (Al=1 first
+    scans + refinement scans) on both DC and AC. The stream carries
+    exactly the same quantized coefficients as jpeg_encode at the same
+    quality, so decoding both must give IDENTICAL pixels — pinned in
+    test_multimodal."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _quality_table(_QL, quality)
+    qc = _quality_table(_QC, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, 0, 255),
+            np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, 0, 255),
+        ]
+    arrs = _quantized_blocks(planes, ql, qc, w, h)
+    nc = len(arrs)
+    al1 = 1 if successive else 0
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, ql)
+    if nc > 1:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    # --- DC first scan (interleaved across components, MCU==block order)
+    dcops = _enc_dc_first(arrs, al1)
+    tids = [0 if ci == 0 else 1 for ci in range(nc)]
+    dc_tables = {}
+    for tid in sorted(set(tids)):
+        syms = [s for ci in range(nc) if tids[ci] == tid
+                for s in dcops[ci].symbols]
+        bits, sv = _build_equal_length_table(syms or [0])
+        out += _dht_segment(0, tid, (bits, sv))
+        dc_tables[tid] = _canonical_codes(bits, sv)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, tids[ci] << 4])
+    sos += bytes([0, 0, (0 << 4) | al1])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    # interleave: replay per-MCU (block) in component order
+    per_comp_ops = [iter(o.ops) for o in dcops]
+    bh, bwid = arrs[0].shape[0], arrs[0].shape[1]
+    for _ in range(bh * bwid):
+        for ci in range(nc):
+            it = per_comp_ops[ci]
+            kind, a, b = next(it)
+            assert kind == "sym"
+            c, ln = dc_tables[tids[ci]][a]
+            bw.write(c, ln)
+            if a:  # magnitude bits follow the symbol
+                kind2, v2, n2 = next(it)
+                bw.write(v2, n2)
+    bw.flush()
+    out += bw.out
+
+    # --- DC refinement scan (raw bits, no Huffman)
+    if successive:
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0])
+        sos += bytes([0, 0, (1 << 4) | 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(nc):
+                    bw.write(int(arrs[ci][by, bx, 0]) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # --- AC band scans per component (non-interleaved, spec §G.1)
+    for ci in range(nc):
+        tid = tids[ci]
+        for ss, se in ((1, 5), (6, 63)):
+            ops = _enc_ac_scan(arrs[ci], ss, se, 0, al1)
+            out = bytes(out) if isinstance(out, bytes) else out
+            out = bytearray(
+                _emit_scan(bytearray(out), {tid: ops}, [(ci + 1, tid)],
+                           ss, se, 0, al1, 1)
+            )
+    if successive:
+        for ci in range(nc):
+            tid = tids[ci]
+            for ss, se in ((1, 5), (6, 63)):
+                ops = _enc_ac_scan(arrs[ci], ss, se, 1, 0)
+                out = bytearray(
+                    _emit_scan(bytearray(out), {tid: ops}, [(ci + 1, tid)],
+                               ss, se, 1, 0, 1)
+                )
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -3325,11 +3325,12 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     public spec ITU-T T.81): per doc a deterministic 16×16 image is built
     from sha256(text) bytes, ENCODED by multimodal/jpeg.py (DCT, Annex K
     tables, Huffman, byte stuffing) and DECODED by the same module's
-    from-scratch decoder, cycling the three hard decoder paths by doc_id:
-    grayscale, color 4:2:0 (subsampled YCbCr + upsample), and grayscale
-    with restart markers (DRI/RSTn). Features are the 4×4 luminance grid
-    of the DECODED pixels — any drift in either side of the codec changes
-    the pinned values."""
+    from-scratch decoder, cycling the four hard decoder paths by doc_id:
+    grayscale, color 4:2:0 (subsampled YCbCr + upsample), grayscale with
+    restart markers (DRI/RSTn), and PROGRESSIVE (SOF2, successive
+    approximation — multi-scan DC/AC with EOBRUN, r5). Features are the
+    4×4 luminance grid of the DECODED pixels — any drift in either side
+    of the codec changes the pinned values."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
 
     def gen(batches):
@@ -3344,6 +3345,7 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
         from pdf_parser_benchmark_spark.multimodal.jpeg import (
             jpeg_decode,
             jpeg_encode,
+            jpeg_encode_progressive,
         )
 
         def plane(seed: bytes) -> np.ndarray:
@@ -3355,7 +3357,7 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
             for d, t in zip(b["doc_id"], b["text"]):
                 d = int(d)
                 raw = t.encode("utf-8")
-                mode = d % 3
+                mode = d % 4
                 if mode == 0:
                     img = np.stack(
                         [plane(raw + s) for s in (b"r", b"g", b"b")], axis=-1
@@ -3363,9 +3365,12 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
                     enc = jpeg_encode(img, quality=85, subsample=True)
                 elif mode == 1:
                     enc = jpeg_encode(plane(raw), quality=85)
-                else:
+                elif mode == 2:
                     enc = jpeg_encode(plane(raw), quality=85,
                                       restart_interval=2)
+                else:
+                    enc = jpeg_encode_progressive(plane(raw), quality=85,
+                                                  successive=True)
                 px = jpeg_decode(enc).astype(np.float64)
                 lum = px if px.ndim == 2 else (
                     0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
@@ -3375,7 +3380,8 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
                 rows.append(
                     {
                         "media_id": d,
-                        "mode": ["color420", "gray", "gray_rst"][mode],
+                        "mode": ["color420", "gray", "gray_rst",
+                                 "gray_prog"][mode],
                         "n_bytes": len(enc),
                         **{
                             f"f{i}_micro": int(round(float(feats[i]) * 1e6))

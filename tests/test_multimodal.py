@@ -364,3 +364,76 @@ def test_jpeg_through_decode_image_real():
     feats = _decode_image_real(jpeg_encode(_smooth_gray(), 90))
     assert feats.shape == (FEAT_DIM,)
     assert np.isfinite(feats).all() and 0.0 <= feats.min() <= feats.max() <= 1.0
+
+
+def test_jpeg_progressive_identical_to_baseline():
+    """Progressive (SOF2) differential identity: jpeg_encode_progressive
+    carries exactly the same quantized coefficients as jpeg_encode at the
+    same quality, so decoding both streams must give IDENTICAL pixels —
+    for gray and color, smooth and dense-noise content, with and without
+    successive approximation (EOBRUN, ZRL, AC refinement all exercised)."""
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    smooth = _smooth_gray(40, 56)
+    cases = [
+        smooth,
+        np.stack([smooth, np.roll(smooth, 3, axis=1), 255 - smooth], axis=-1),
+        rng.randint(0, 256, (24, 40)).astype(np.uint8),
+        rng.randint(0, 256, (24, 40, 3)).astype(np.uint8),
+    ]
+    for im in cases:
+        for successive in (False, True):
+            for q in (85, 50):
+                base = jpeg_decode(jpeg_encode(im, quality=q, subsample=False))
+                dec = jpeg_decode(
+                    jpeg_encode_progressive(im, quality=q,
+                                            successive=successive)
+                )
+                assert np.array_equal(dec, base), (im.shape, successive, q)
+
+
+def test_jpeg_progressive_stream_is_sof2_multiscan():
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    enc = jpeg_encode_progressive(_smooth_gray(24, 24), quality=85,
+                                  successive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc  # SOF2, no SOF0
+    assert enc.count(b"\xff\xda") >= 4  # DC, DC-refine, AC bands + refines
+
+
+def test_jpeg_progressive_random_sweep():
+    """Property sweep: 60 random images (sizes incl. non-multiples of 8,
+    gray + color, three qualities, both successive modes) — every
+    progressive stream must decode pixel-identical to its baseline twin."""
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(42)
+    for i in range(60):
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        if i % 2:
+            im = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        else:
+            im = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        q = [95, 75, 40][i % 3]
+        successive = bool(i % 2)
+        base = jpeg_decode(jpeg_encode(im, quality=q, subsample=False))
+        dec = jpeg_decode(
+            jpeg_encode_progressive(im, quality=q, successive=successive)
+        )
+        assert np.array_equal(dec, base), (i, im.shape, q, successive)
