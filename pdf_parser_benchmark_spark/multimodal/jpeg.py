@@ -431,8 +431,10 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode baseline JFIF → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    Supports sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
-    16-bit DQT entries; rejects progressive/arithmetic/12-bit streams."""
+    Supports baseline (SOF0/1: sampling factors 1-2, restart intervals,
+    16-bit DQT entries) and PROGRESSIVE (SOF2: spectral selection +
+    successive approximation) streams; rejects lossless/hierarchical/
+    arithmetic-coded/12-bit streams with ValueError."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -894,7 +896,6 @@ def _quantized_blocks(comps, ql, qc, w, h):
 
 
 def _enc_dc_first(arrs, al):
-    ops = [None] * len(arrs)
     dcops = [_ScanOps() for _ in arrs]
     preds = [0] * len(arrs)
     bh, bwid = arrs[0].shape[0], arrs[0].shape[1]
@@ -933,7 +934,6 @@ def _enc_ac_scan(arr, ss, se, ah, al):
             zz = arr[by, bx]
             if ah == 0:  # first scan at this Al
                 r = 0
-                any_sym = False
                 for k in range(ss, se + 1):
                     v = int(zz[k])
                     t = (abs(v) >> al) * (1 if v >= 0 else -1)
@@ -949,7 +949,6 @@ def _enc_ac_scan(arr, ss, se, ah, al):
                     ops.sym((r << 4) | s)
                     ops.bits(bits, s)
                     r = 0
-                    any_sym = True
                 if r > 0:
                     eobrun += 1
                     if eobrun == 0x7FFF:
@@ -1120,7 +1119,6 @@ def jpeg_encode_progressive(
         tid = tids[ci]
         for ss, se in ((1, 5), (6, 63)):
             ops = _enc_ac_scan(arrs[ci], ss, se, 0, al1)
-            out = bytes(out) if isinstance(out, bytes) else out
             out = bytearray(
                 _emit_scan(bytearray(out), {tid: ops}, [(ci + 1, tid)],
                            ss, se, 0, al1, 1)

@@ -71,6 +71,37 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
+def _exact_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cands: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Shared two-stage tail: fetch only the candidates' full vectors
+    (broadcast semi-shape — Q·rerank rows, never the corpus), score exact
+    cosine, return the exact top k with (desc score, asc id) tie-break.
+    Used by pq_topk, pq_topk_lut, and opq_topk so the rounding/tie rules
+    can never diverge between the twins (r5 review finding)."""
+    pool = corpus.join(
+        F.broadcast(cands), corpus_id
+    ).join(
+        F.broadcast(queries.select(query_id, query_vec)), query_id
+    )
+    exact = pool.withColumn(
+        "score", cosine_rounded(F.col(query_vec), F.col(corpus_vec))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", F.col("rn").alias("rank"))
+    )
+
+
 def _np_nearest(vecs32, cents32):
     """numpy twin of the relational nearest-centroid assignment, matching
     l2_sq + F.round + (d2 asc, cid asc) bit-for-bit in the cases that
@@ -467,20 +498,8 @@ def pq_topk(
         .filter(F.col("rn") <= rerank)
         .select(query_id, F.col("pqid").alias(corpus_id))
     )
-    pool = corpus.join(
-        F.broadcast(cands), corpus_id
-    ).join(
-        F.broadcast(queries.select(query_id, query_vec)), query_id
-    )
-    exact = pool.withColumn(
-        "score", cosine_rounded(F.col(query_vec), F.col(corpus_vec))
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select(query_id, corpus_id, "score", F.col("rn").alias("rank"))
-    )
+    return _exact_rerank(queries, corpus, cands, k, query_id, query_vec,
+                         corpus_id, corpus_vec)
 
 
 def pq_topk_lut(
@@ -543,6 +562,12 @@ def pq_topk_lut(
         cb, enc = codebooks, encoded
 
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:  # empty queries: empty result, like the relational twin
+        spark = (corpus or enc).sparkSession
+        cols = (f"{query_id} long, {corpus_id} long, "
+                + ("score double" if rerank > k else "adc double")
+                + ", rank int")
+        return spark.createDataFrame([], cols)
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
     Q = np.array([[np.float32(v) for v in r[1]] for r in qrows],
                  dtype=np.float32)
@@ -616,20 +641,8 @@ def pq_topk_lut(
     )
     if corpus is None:
         raise ValueError("rerank needs the corpus vectors")
-    pool = corpus.join(
-        F.broadcast(cands), corpus_id
-    ).join(
-        F.broadcast(queries.select(query_id, query_vec)), query_id
-    )
-    exact = pool.withColumn(
-        "score", cosine_rounded(F.col(query_vec), F.col(corpus_vec))
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select(query_id, corpus_id, "score", F.col("rn").alias("rank"))
-    )
+    return _exact_rerank(queries, corpus, cands, k, query_id, query_vec,
+                         corpus_id, corpus_vec)
 
 
 def opq_rotation(
@@ -747,11 +760,17 @@ def opq_topk(
     the broadcast-LUT path, then exact-rerank the candidates on the
     ORIGINAL vectors (R is orthogonal, so original-space cosine is the
     correct final score and needs no corpus rotation at query time).
-    rotation/codebooks/encoded: pass a prebuilt index to skip the fit."""
-    import numpy as np
-
+    rotation/codebooks/encoded: pass a prebuilt index to skip the fit —
+    a prebuilt (codebooks, encoded) REQUIRES the rotation they were
+    encoded under (review finding: silently re-learning R here would score
+    codes in a mismatched rotation and collapse recall with no error)."""
     if (codebooks is None) != (encoded is None):
         raise ValueError("pass codebooks and encoded together")
+    if codebooks is not None and rotation is None:
+        raise ValueError(
+            "a prebuilt (codebooks, encoded) index requires the rotation it "
+            "was encoded under — pass rotation= from the same opq fit"
+        )
     if rotation is None:
         rotation = opq_rotation(
             corpus, corpus_id, corpus_vec, m=m, dim=dim, codes=codes,
@@ -768,12 +787,6 @@ def opq_topk(
     rot_queries = rotate_vectors(
         queries.select(query_id, query_vec), rotation, query_vec
     )
-    R = max(k, rerank)
-    cands = pq_topk_lut(
-        rot_queries, None, k=R, m=m, dim=dim, codes=codes,
-        query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
-        codebooks=cb, encoded=enc,
-    ).select(query_id, corpus_id)
     if rerank <= k:
         # no exact stage requested: ADC ranking is the result (adc scores
         # are in rotated space, which preserves L2 — keep the schema)
@@ -782,20 +795,13 @@ def opq_topk(
             query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
             codebooks=cb, encoded=enc,
         )
-    pool = corpus.join(
-        F.broadcast(cands), corpus_id
-    ).join(
-        F.broadcast(queries.select(query_id, query_vec)), query_id
-    )
-    exact = pool.withColumn(
-        "score", cosine_rounded(F.col(query_vec), F.col(corpus_vec))
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select(query_id, corpus_id, "score", F.col("rn").alias("rank"))
-    )
+    cands = pq_topk_lut(
+        rot_queries, None, k=max(k, rerank), m=m, dim=dim, codes=codes,
+        query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
+        codebooks=cb, encoded=enc,
+    ).select(query_id, corpus_id)
+    return _exact_rerank(queries, corpus, cands, k, query_id, query_vec,
+                         corpus_id, corpus_vec)
 
 
 def ivf_topk(

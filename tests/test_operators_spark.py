@@ -593,3 +593,30 @@ def test_opq_topk_cluster_precision_and_schema(spark):
     assert len(res) == 20
     assert all(r["vec_id"] % 8 == r["qid"] % 8 for r in res)
     assert {r["rank"] for r in res} == {1, 2, 3, 4, 5}
+
+
+def test_pq_lut_empty_queries_returns_empty(spark):
+    """r5 review finding: an upstream filter matching nothing must yield an
+    empty result (like the relational twin), not a numpy concat crash in
+    the scan closure; and a prebuilt OPQ index without its rotation must
+    be rejected loudly (mismatched rotation silently collapses recall)."""
+    from pdf_parser_benchmark_spark.operators.knn import (
+        opq_topk,
+        pq_fit,
+        pq_topk_lut,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 0).select(  # empty by construction
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = pq_topk_lut(queries, corpus, k=3, iterations=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"qid", "vec_id", "adc", "rank"}
+    out2 = pq_topk_lut(queries, corpus, k=3, iterations=2, rerank=10)
+    assert out2.count() == 0 and "score" in out2.columns
+
+    cb, enc = pq_fit(corpus, k=16, iterations=1)
+    with pytest.raises(ValueError, match="rotation"):
+        opq_topk(queries, corpus, codebooks=cb, encoded=enc)
