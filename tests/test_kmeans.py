@@ -102,3 +102,21 @@ def test_pq_pretrained_index_matches_inline_fit(spark):
 
     with pytest.raises(ValueError, match="together"):
         pq_topk(queries, corpus, codebooks=cb)
+
+
+def test_kmeans_preserves_non_numeric_id_type(spark):
+    """ADVICE r5: the assignment pass must carry the id column through
+    untouched — string ids come back as the same strings (the former
+    cast('long') silently nulled them)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"doc-{i:03d}", [float(rng.uniform(-1, 1)) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    out = kmeans_fit(df, "doc_id", "embedding", k=3, iterations=2)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {f"doc-{i:03d}" for i in range(40)}
