@@ -1709,6 +1709,99 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEQPACK_TOKS = r"""toks AS (
+  SELECT doc_id, (doc_id % 8)::INT AS bucket,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) > 0
+)"""
+
+
+@query(
+    "sequence_pack",
+    f"""WITH {_SEQPACK_TOKS},
+pos AS (
+  SELECT bucket, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS e,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS s
+  FROM toks
+),
+spans AS (
+  SELECT bucket, doc_id, s, n_tokens,
+         unnest(generate_series(s // 128, (e - 1) // 128)) AS seq_idx
+  FROM pos
+)
+SELECT bucket, seq_idx::BIGINT AS seq_idx, doc_id,
+       (greatest(s, seq_idx * 128) - seq_idx * 128)::BIGINT AS start_in_seq,
+       greatest(0, seq_idx * 128 - s)::BIGINT AS start_in_doc,
+       (least(s + n_tokens, (seq_idx + 1) * 128)
+        - greatest(s, seq_idx * 128))::BIGINT AS span_tokens
+FROM spans""",
+)
+def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT/Pile training-data shape;
+    VERDICT r5 item 6): per `doc_id % 8` bucket, documents concatenate in
+    doc_id order into a token stream cut into 128-token sequences; spans
+    record where each document landed. Closed-form from one windowed
+    cumsum — a single hash exchange on bucket, metadata only, no bodies.
+    Conservation (every token in exactly one span) is pinned by
+    test_seqpack and implied by the exact oracle."""
+    from .operators.seqpack import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(
+        docs, "doc_id", TXT.regex_token_count(F.col("text")),
+        seq_len=128, n_buckets=8,
+    )
+
+
+@query(
+    "sequence_pack_greedy",
+    f"""WITH RECURSIVE {_SEQPACK_TOKS},
+pieces AS (
+  SELECT bucket, doc_id, n_tokens,
+         unnest(generate_series(0, (n_tokens - 1) // 128)) AS piece
+  FROM toks
+),
+p2 AS (
+  SELECT bucket, doc_id, piece,
+         least(128, n_tokens - piece * 128)::BIGINT AS pn,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id, piece) AS rn
+  FROM pieces
+),
+rec AS (
+  SELECT bucket, rn, doc_id, piece, pn,
+         0::BIGINT AS seq_idx, 0::BIGINT AS off, pn AS fill
+  FROM p2 WHERE rn = 1
+  UNION ALL
+  SELECT p.bucket, p.rn, p.doc_id, p.piece, p.pn,
+         CASE WHEN r.fill + p.pn > 128 THEN r.seq_idx + 1 ELSE r.seq_idx END,
+         CASE WHEN r.fill + p.pn > 128 THEN 0::BIGINT ELSE r.fill END,
+         CASE WHEN r.fill + p.pn > 128 THEN p.pn ELSE r.fill + p.pn END
+  FROM rec r JOIN p2 p ON p.bucket = r.bucket AND p.rn = r.rn + 1
+)
+SELECT bucket, doc_id, piece::BIGINT AS piece, seq_idx,
+       off AS offset_in_seq, pn AS n_tokens
+FROM rec""",
+)
+def q_sequence_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """First-fit-in-order sequence packing (no cross-boundary token spill):
+    ≤128-token pieces placed in (doc_id, piece) order per bucket, opening a
+    new sequence on overflow. The fill recursion is sequential by nature —
+    it runs per bucket over METADATA rows only (applyInPandas; the only
+    shuffle is (doc_id, piece, n) rows). The DuckDB twin replays the exact
+    recursion as a recursive CTE."""
+    from .operators.seqpack import pack_sequences_greedy
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences_greedy(
+        docs, "doc_id", TXT.regex_token_count(F.col("text")),
+        seq_len=128, n_buckets=8,
+    )
+
+
 @query(
     "quality_scores",
     r"""WITH f AS (
