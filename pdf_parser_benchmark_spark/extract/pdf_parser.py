@@ -830,6 +830,24 @@ class PdfDocument:
                 from ..multimodal.jpeg import jpeg_decode as _jd
 
                 data = _jd(bytes(data)).tobytes()
+            elif f in ("/CCITTFaxDecode", "/CCF"):
+                # §7.4.6: G4 (K < 0) fax data; decoded content is packed
+                # 1-bit rows padded to byte boundaries — from-scratch T.6
+                # codec (multimodal/ccitt.py). Rows defaults to the image
+                # /Height when DecodeParms omits it.
+                from ..multimodal.ccitt import ccittfax_decode as _ccitt
+
+                pm2 = self.resolve(pm) or {}
+                rows = int(self.resolve(pm2.get("/Rows")) or 0)
+                if not rows and s.dict.get("/Height") is not None:
+                    rows = int(self.resolve(s.dict.get("/Height")))
+                data = _ccitt(
+                    bytes(data),
+                    columns=int(self.resolve(pm2.get("/Columns")) or 1728),
+                    rows=rows or None,
+                    k=int(self.resolve(pm2.get("/K")) or 0),
+                    black_is_1=bool(self.resolve(pm2.get("/BlackIs1"))),
+                )
             elif f in (None,):
                 pass
             else:
@@ -931,13 +949,39 @@ class PdfDocument:
                     px = self.stream_data(xo)
                     w = int(self.resolve(xo.dict.get("/Width")))
                     h = int(self.resolve(xo.dict.get("/Height")))
+                    bpc = int(
+                        self.resolve(xo.dict.get("/BitsPerComponent")) or 8
+                    )
+                    if bpc == 1:
+                        # bilevel (e.g. /CCITTFaxDecode): expand packed
+                        # byte-padded rows to one 0/255 gray sample per
+                        # pixel so every image yields a uniform sample
+                        # stream
+                        import numpy as _np
+
+                        rowbytes = (w + 7) // 8
+                        bits = _np.unpackbits(
+                            _np.frombuffer(px, dtype=_np.uint8).reshape(
+                                h, rowbytes
+                            ),
+                            axis=1,
+                        )[:, :w]
+                        px = (bits * _np.uint8(255)).tobytes()
                 except Exception:
                     continue
+                # ncomp from the DECODED sample count when it divides
+                # cleanly (ADVICE r5: ICCBased/Indexed/array color spaces
+                # made the /DeviceRGB test claim 1 for 3-component pixel
+                # data); the /ColorSpace name is the fallback only
                 ncomp = (
                     3
                     if self.resolve(xo.dict.get("/ColorSpace")) == "/DeviceRGB"
                     else 1
                 )
+                if w > 0 and h > 0 and len(px) % (w * h) == 0:
+                    got = len(px) // (w * h)
+                    if got in (1, 3, 4):
+                        ncomp = got
                 out.append((idx, name.lstrip("/"), w, h, ncomp, px))
         return out
 

@@ -452,11 +452,21 @@ def _parse_segments(d: bytes) -> np.ndarray:
     frame = None
     progressive = False
     prog: dict | None = None  # per-component zigzag coefficient arrays
-    while pos + 4 <= len(d):
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
+        # B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes (ADVICE r5 — spec-legal padding desynced the parse)
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone — no length field (ADVICE r5)
+            pos += 2
+            continue
+        if pos + 4 > len(d):
             break
         (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         seg = d[pos + 4 : pos + 2 + seglen]

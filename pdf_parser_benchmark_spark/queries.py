@@ -2576,6 +2576,88 @@ def q_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("ccitt_decode")  # CCITT G4 in the PDF filter chain — pinned oracle
+def q_ccitt_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Scanned-document path (VERDICT r5 item 4): per doc a one-page PDF
+    embeds a CCITT Group 4 bilevel image XObject (/Filter /CCITTFaxDecode,
+    /K -1, /BitsPerComponent 1 — the filter scanned-book PDFs use) built
+    from sha256(text)-derived 64×32 'scan' pixels by the from-scratch T.6
+    encoder (multimodal/ccitt.py); PdfDocument.images() decodes it back
+    through the standard filter chain (from-scratch G4 decoder + 1-bit
+    sample expansion). Emits pixel digests, black-pixel fractions and the
+    G4 compression ratio — write → embed → parse → decode at value level,
+    mirroring q:pdf_images."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pdf_parser_benchmark_spark.extract.pdf_parser import PdfDocument
+        from pdf_parser_benchmark_spark.multimodal.ccitt import ccittfax_encode
+        from pdf_parser_benchmark_spark.synth.pdf_writer import (
+            PageSpec,
+            TextItem,
+            build_pdf,
+        )
+
+        W, H = 64, 32
+
+        def scan_page(seed: bytes) -> np.ndarray:
+            """Deterministic text-like bilevel page: hash-seeded black
+            runs on white background (0 = black, the decoded-sample
+            convention with default /BlackIs1 false)."""
+            h = hashlib.sha256(seed).digest()
+            img = np.ones((H, W), dtype=np.uint8)  # all white
+            for line in range(6):
+                y = 2 + line * 5
+                x0 = h[line * 4] % 16
+                ln = 8 + h[line * 4 + 1] % (W - 24)
+                img[y : y + 2, x0 : x0 + ln] = 0
+                if h[line * 4 + 2] % 3 == 0:  # broken word gap
+                    gap = x0 + 2 + h[line * 4 + 3] % 6
+                    img[y : y + 2, gap : gap + 2] = 1
+            return img
+
+        for b in batches:
+            rows = []
+            for d, t in zip(b["doc_id"], b["text"]):
+                d = int(d)
+                img = scan_page(t.encode("utf-8"))
+                g4 = ccittfax_encode(img)
+                data = build_pdf([
+                    PageSpec(
+                        items=[TextItem(50, 700, f"scan {d}")],
+                        images=[(g4, W, H, 1, "g4")],
+                    )
+                ])
+                for page, name, w, h, nc, px in PdfDocument(data).images():
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "img": name,
+                            "width": w,
+                            "height": h,
+                            "ncomp": nc,
+                            "black_milli": int(
+                                round(float((arr == 0).mean()) * 1000)
+                            ),
+                            "px_sha8": hashlib.sha256(px).hexdigest()[:8],
+                            "g4_bytes": len(g4),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, img string, width int, height int, ncomp int, "
+        "black_milli long, px_sha8 string, g4_bytes long",
+    )
+
+
 @query(
     "lang_id",
     r"""WITH m AS (

@@ -334,15 +334,33 @@ def build_pdf(
     for p in pages:
         assert not (p.images and encrypt), "image fixtures are unencrypted"
         nums = []
-        for jpg, iw, ih, ncomp in p.images:
-            cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
-            nums.append(add(
-                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace %s /BitsPerComponent 8 /Filter /DCTDecode "
-                b"/Length %d >>\nstream\n" % (iw, ih, cs, len(jpg))
-                + jpg
-                + b"\nendstream"
-            ))
+        for img in p.images:
+            # 4-tuple = JPEG (the r5 shape, bytes unchanged); 5-tuple adds
+            # a filter tag: "g4" embeds CCITT Group 4 bilevel data
+            # (/BitsPerComponent 1, /DecodeParms /K -1, §7.4.6)
+            if len(img) == 5:
+                data, iw, ih, ncomp, filt = img
+            else:
+                (data, iw, ih, ncomp), filt = img, "dct"
+            if filt == "g4":
+                nums.append(add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    b"/Filter /CCITTFaxDecode /DecodeParms "
+                    b"<< /K -1 /Columns %d /Rows %d /BlackIs1 false >> "
+                    b"/Length %d >>\nstream\n" % (iw, ih, iw, ih, len(data))
+                    + data
+                    + b"\nendstream"
+                ))
+            else:
+                cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+                nums.append(add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace %s /BitsPerComponent 8 /Filter /DCTDecode "
+                    b"/Length %d >>\nstream\n" % (iw, ih, cs, len(data))
+                    + data
+                    + b"\nendstream"
+                ))
         image_nums.append(nums)
 
     # reserve numbers: pages tree node, then one page object per page
