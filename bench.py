@@ -282,6 +282,27 @@ def main() -> None:
     pq_recall = _recall_of(pq10)
     t_pq = time.monotonic() - t0
     pq_cb.unpersist(), pq_enc.unpersist()
+    # composed IVF×PQ (r6, VERDICT r5 item 3): coarse prune + residual-PQ
+    # LUT scan over probed lists only + exact rerank — train once, serve
+    # from the stored (coarse, codebooks, listed-codes) index
+    from pdf_parser_benchmark_spark.operators.knn import ivfpq_fit, ivfpq_topk
+
+    t0 = time.monotonic()
+    ipq_index = ivfpq_fit(
+        vec_corpus, n_lists=AC, m=8, dim=AD, codes=16, coarse_iterations=4,
+        pq_iterations=3,
+    )
+    ipq_cb, ipq_enc = ipq_index[1].persist(), ipq_index[2].persist()
+    ipq_enc.count(), ipq_cb.count()
+    t_ipq_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    ipq10 = ivfpq_topk(
+        vec_queries, vec_corpus, k=AK, nprobe=4, m=8, dim=AD, codes=16,
+        rerank=50, index=(ipq_index[0], ipq_cb, ipq_enc),
+    ).select("qid", "vec_id")
+    ipq_recall = _recall_of(ipq10)
+    t_ipq = time.monotonic() - t0
+    ipq_cb.unpersist(), ipq_enc.unpersist()
     ann_100k = {
         "n": AN,
         "brute_force_sec": round(t_brute, 3),
@@ -290,6 +311,9 @@ def main() -> None:
         "pq_train_sec": round(t_pq_train, 3),
         "pq_rerank_sec": round(t_pq, 3),
         "pq_recall_at_10": pq_recall,
+        "ivfpq_train_sec": round(t_ipq_train, 3),
+        "ivfpq_search_sec": round(t_ipq, 3),
+        "ivfpq_recall_at_10": ipq_recall,
     }
     exact10.unpersist()
     vec_queries.unpersist()

@@ -26,101 +26,106 @@ WINDOW_SIZE = 50
 # name -> last round with a green driver CORRECTNESS row (generated; do not
 # hand-edit — run tools/update_driver_window.py).
 LAST_GREEN = {
-    "extract_digest": 4,
-    "extract_pipeline": 4,
+    "adaptive_retry_topk": 5,
+    "ann_ivf_kmeans_topk": 5,
+    "ann_ivf_topk": 5,
+    "anti_join_resume": 5,
+    "approx_distinct_users": 5,
+    "audio_rms": 5,
+    "best_second_gap": 5,
+    "boilerplate_lines": 5,
+    "boilerplate_strip": 5,
+    "cache_key": 5,
+    "chunk_type_map": 5,
+    "crawl_loop": 5,
+    "dedup_exact": 5,
+    "distinct_sources": 5,
+    "embedding_neardup": 5,
+    "empty_filter": 5,
+    "filename_meta": 5,
+    "fuzzy_title_join": 5,
+    "greedy_dedup": 5,
+    "hierarchy_propagation": 5,
+    "host_indegree": 5,
+    "jaccard_neardup": 5,
+    "jaccard_title_join": 5,
+    "jpeg_decode": 5,
+    "knn_join": 5,
+    "link_graph": 5,
+    "lsh_candidates": 5,
+    "manifest_equi_join": 5,
+    "max_score_gate": 5,
+    "metadata_filter": 5,
+    "minhash_neardup": 5,
+    "minhash_signature": 5,
+    "nfkd_fold": 5,
+    "normalize_title": 5,
+    "opq_topk": 5,
+    "pdf_images": 5,
+    "pq_topk": 5,
+    "pq_topk_lut": 5,
+    "quality_scores": 5,
+    "rag_retrieval": 5,
+    "repro_extract": 5,
+    "simhash_fingerprint": 5,
+    "simhash_neardup": 5,
+    "snapshot_diff": 5,
+    "stratified_sample": 5,
+    "summary_agg": 5,
+    "token_counts": 5,
+    "topk_cosine": 5,
+    "topk_per_group": 5,
+    "two_path_union": 5,
     "contamination_check": 4,
-    "media_refs": 4,
-    "robots_filter": 4,
-    "lang_id": 4,
-    "lang_id3": 4,
-    "doc_fingerprint": 4,
-    "hash_embeddings": 4,
-    "tpch_q1_pricing": 4,
-    "tpch_q3_topk": 4,
-    "tpch_q5_volume": 4,
-    "semi_join_customers": 4,
-    "set_ops_sources": 4,
-    "excerpts": 4,
-    "rollup_revenue": 4,
-    "pivot_status_qty": 4,
     "count_distinct_orders": 4,
-    "median_value_by_type": 4,
-    "tpch_q6_forecast": 4,
-    "tpch_q4_priority": 4,
-    "tpch_q10_returns": 4,
-    "sql_api_pricing": 4,
-    "sql_api_topk": 4,
-    "url_canonicalize": 4,
-    "url_dedup": 4,
-    "pii_redact": 4,
-    "hash_sample": 4,
-    "ngram_topk": 4,
-    "salted_agg": 4,
-    "salted_join": 4,
-    "multimodal_decode": 4,
-    "frame_sample": 4,
-    "minhash_neardup_xx": 4,
+    "crawl_frontier": 4,
     "dedup_clusters": 4,
     "dedup_clusters_2p": 4,
+    "doc_fingerprint": 4,
     "dup_paragraphs": 4,
-    "strip_dup_paragraphs": 4,
-    "pdf_link_graph": 4,
-    "gopher_rules": 4,
-    "crawl_frontier": 4,
-    "script_detect": 4,
-    "robots_txt_gate": 4,
-    "host_indegree_all": 4,
-    "sitemap_frontier": 4,
     "embedding_neardup_rh": 4,
+    "excerpts": 4,
+    "extract_digest": 4,
+    "extract_pipeline": 4,
+    "frame_sample": 4,
+    "gopher_rules": 4,
+    "hash_embeddings": 4,
+    "hash_sample": 4,
+    "host_indegree_all": 4,
     "ivf_recall": 4,
+    "lang_id": 4,
+    "lang_id3": 4,
+    "media_refs": 4,
+    "median_value_by_type": 4,
+    "minhash_neardup_xx": 4,
+    "multimodal_decode": 4,
+    "ngram_topk": 4,
+    "pdf_link_graph": 4,
+    "pii_redact": 4,
+    "pivot_status_qty": 4,
+    "robots_filter": 4,
+    "robots_txt_gate": 4,
+    "rollup_revenue": 4,
+    "salted_agg": 4,
+    "salted_join": 4,
+    "script_detect": 4,
+    "semi_join_customers": 4,
     "sessionize": 4,
+    "set_ops_sources": 4,
+    "sitemap_frontier": 4,
+    "sql_api_pricing": 4,
+    "sql_api_topk": 4,
+    "strip_dup_paragraphs": 4,
+    "tpch_q10_returns": 4,
+    "tpch_q1_pricing": 4,
+    "tpch_q3_topk": 4,
+    "tpch_q4_priority": 4,
+    "tpch_q5_volume": 4,
+    "tpch_q6_forecast": 4,
+    "url_canonicalize": 4,
+    "url_dedup": 4,
     "windowed_event_counts": 4,
-    "summary_agg": 3,
-    "fuzzy_title_join": 3,
-    "boilerplate_strip": 3,
-    "boilerplate_lines": 3,
-    "chunk_type_map": 3,
-    "repro_extract": 3,
-    "empty_filter": 3,
-    "filename_meta": 3,
-    "normalize_title": 3,
-    "nfkd_fold": 3,
-    "cache_key": 3,
-    "metadata_filter": 3,
-    "distinct_sources": 3,
-    "max_score_gate": 3,
-    "manifest_equi_join": 3,
-    "anti_join_resume": 3,
-    "jaccard_title_join": 3,
-    "hierarchy_propagation": 3,
-    "topk_per_group": 3,
-    "best_second_gap": 3,
-    "greedy_dedup": 3,
-    "two_path_union": 3,
-    "topk_cosine": 3,
-    "knn_join": 3,
-    "ann_ivf_topk": 3,
-    "pq_topk": 3,
-    "rag_retrieval": 3,
-    "approx_distinct_users": 3,
-    "ann_ivf_kmeans_topk": 3,
-    "adaptive_retry_topk": 3,
-    "embedding_neardup": 3,
-    "dedup_exact": 3,
-    "minhash_signature": 3,
-    "lsh_candidates": 3,
-    "minhash_neardup": 3,
-    "simhash_fingerprint": 3,
-    "simhash_neardup": 3,
-    "jaccard_neardup": 3,
-    "stratified_sample": 3,
-    "snapshot_diff": 3,
-    "link_graph": 3,
-    "host_indegree": 3,
-    "token_counts": 3,
-    "quality_scores": 3,
     "repetition_signals": 3,
-    "audio_rms": 0,  # r4 driver ERR (array canonicalizer) — never green
 }
 
 
