@@ -793,6 +793,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(queries, corpus, k=3, nprobe=2).select("qid", "vec_id", "rank")
 
 
+@query(
+    "rerank_blend",
+    r"""WITH q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qv, d.text AS qt
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id < 3
+),
+c AS (
+  SELECT e.vec_id, e.embedding, d.text
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id >= 3
+),
+pool AS (
+  SELECT * FROM (
+    SELECT q.qid, c.vec_id, q.qv, q.qt, c.embedding, c.text,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round(CAST(list_cosine_similarity(c.embedding, q.qv) AS DOUBLE), 6) DESC,
+                                       c.vec_id) AS rn
+    FROM c CROSS JOIN q
+  ) WHERE rn <= 10
+),
+scored AS (
+  SELECT qid, vec_id,
+         round(0.7::DOUBLE * round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 6)
+               + (1.0::DOUBLE - 0.7::DOUBLE) *
+                 round(len(list_filter(list_distinct(string_split_regex(lower(trim(qt)), '\s+')),
+                                       x -> list_position(list_distinct(string_split_regex(lower(trim(text)), '\s+')), x) > 0))
+                       / greatest(len(list_distinct(string_split_regex(lower(trim(qt)) || ' ' || lower(trim(text)), '\s+'))), 1)::DOUBLE,
+                       6),
+               6) AS blend
+  FROM pool
+)
+SELECT qid, vec_id, blend, rank FROM (
+  SELECT qid, vec_id, blend,
+         row_number() OVER (PARTITION BY qid ORDER BY blend DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_rerank_blend(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (the reference's planned reranker,
+    /root/reference/docs/ACTION_ITEMS.md:115-133: top-10 by vector
+    similarity — a relevance proxy — then a JOINT (query, chunk) scorer
+    reranks to top-3). The neural cross-encoder is out of scope (serving
+    exclusion); its decidable structure is implemented exactly: stage 2
+    sees both texts and can overrule raw cosine via a cosine ⊕
+    token-Jaccard blend, and runs only on the Q·k1 retrieved pool
+    (broadcast fetch by id — the corpus is never re-scanned)."""
+    from .operators.rerank import rerank_topk
+
+    emb = _t(spark, sf, "embeddings")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    queries = joined.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("text").alias("qtext"),
+    )
+    corpus = joined.filter(F.col("vec_id") >= 3).select(
+        "vec_id", "embedding", "text"
+    )
+    return rerank_topk(queries, corpus, k1=10, k2=3, alpha=0.7)
+
+
 @query("pq_topk")  # iterative (m sub-quantizers × Lloyd's) — pinned oracle
 def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. 2011): corpus encoded

