@@ -61,6 +61,9 @@ class HtmlBlock:
     in_chrome: bool = False
     path: tuple[int, ...] = ()  # enclosing container ids, outermost first
     cells: tuple[str, ...] = ()  # table_row: reconstructed cell texts
+    # table_row: declared column widths from <colgroup>/<col> (normalized
+    # tokens: "120", "20%", "50px", "" when unspecified), expanded by span
+    col_widths: tuple[str, ...] = ()
 
     @property
     def link_density(self) -> float:
@@ -77,6 +80,27 @@ _CELL_MARK = "\x00"  # in-buffer cell boundary, split out at flush
 # <picture>/<source>/srcset responsive-image surface a training-data
 # pipeline mines for image-text pairs)
 _MEDIA_TAGS = ("img", "source", "video", "audio")
+
+
+_STYLE_WIDTH = re.compile(r"(?:^|;)\s*width\s*:\s*([^;]+)")
+
+
+def _col_width(attrs) -> str:
+    """Declared column width of a <col>/<colgroup>: the legacy ``width``
+    attribute (HTML4 §11.2.4: pixels, "N%", or "N*" relative) or a
+    ``style`` width declaration, normalized to a lowercase token with
+    whitespace stripped; "" when unspecified."""
+    style = None
+    for k, v in attrs:
+        if k == "width" and v and v.strip():
+            return "".join(v.split()).lower()
+        if k == "style":
+            style = v
+    if style:
+        m = _STYLE_WIDTH.search(style)
+        if m:
+            return "".join(m.group(1).split()).lower()
+    return ""
 
 
 def _span(attrs, key: str, cap: int) -> int:
@@ -110,6 +134,11 @@ class _BlockParser(HTMLParser):
         self._table_stack: list[dict[int, list]] = []
         # rows suspended at a nested <table> (resumed at its </table>)
         self._row_suspend: list[tuple] = []
+        # one width list per open <table>, fed by <colgroup>/<col>
+        self._table_cols: list[list[str]] = []
+        # pending <colgroup width span>: applies only if no <col> children
+        # arrive before it closes (HTML4 §11.2.4.1)
+        self._colgroup: tuple[str, int, int] | None = None
         # media references in document order: (kind, url)
         self.media: list[tuple[str, str]] = []
         # <meta name=robots> content values in document order
@@ -167,6 +196,8 @@ class _BlockParser(HTMLParser):
                             del pending[c]
             cells = tuple(c for c in grid if c)
             self._cur.cells = cells
+            if self._table_cols and self._table_cols[-1]:
+                self._cur.col_widths = tuple(self._table_cols[-1])
             self._cur.text = _CELL_SEP.join(cells)
         else:
             self._cur.text = " ".join(text.replace(_CELL_MARK, " ").split())
@@ -178,6 +209,15 @@ class _BlockParser(HTMLParser):
         self._buf = []
         self._link_buf_chars = 0
         self._cell_meta = []
+
+    def _close_colgroup(self) -> None:
+        """Apply a pending <colgroup span width> if no <col> children
+        arrived while it was open (HTML4 §11.2.4.1 semantics)."""
+        if self._colgroup is not None and self._table_cols:
+            width, span, n0 = self._colgroup
+            if len(self._table_cols[-1]) == n0:
+                self._table_cols[-1].extend([width] * span)
+        self._colgroup = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _CHROME:
@@ -223,6 +263,21 @@ class _BlockParser(HTMLParser):
                 self._cur, self._buf = None, []
                 self._link_buf_chars, self._cell_meta = 0, []
             self._table_stack.append({})
+            self._table_cols.append([])
+        if tag == "colgroup" and self._table_cols:
+            self._colgroup = (
+                _col_width(attrs),
+                _span(attrs, "span", 1000),
+                len(self._table_cols[-1]),
+            )
+        if tag == "col" and self._table_cols:
+            self._table_cols[-1].extend(
+                [_col_width(attrs)] * _span(attrs, "span", 1000)
+            )
+        if tag in ("tr", "thead", "tbody", "tfoot"):
+            # a row group starting implies any open <colgroup> has closed
+            # (tolerant of the omitted </colgroup> real pages use)
+            self._close_colgroup()
         if tag in ("td", "th") and self._cur is not None:
             if self._cur.tag == "table_row":
                 self._buf.append(_CELL_MARK)
@@ -260,10 +315,14 @@ class _BlockParser(HTMLParser):
                 self._anchor_buf = []
         if tag in _CONTAINERS and self._cstack:
             self._cstack.pop()  # tolerant: unbalanced HTML pops the nearest
+        if tag == "colgroup":
+            self._close_colgroup()
         if tag == "table":
             self._flush()  # close an unterminated inner row
             if self._table_stack:
                 self._table_stack.pop()
+            if self._table_cols:
+                self._table_cols.pop()
             if (
                 self._row_suspend
                 and self._row_suspend[-1][4] == len(self._table_stack)
@@ -367,7 +426,8 @@ def _parse_start(
     name = tm.group(1).lower()
     k = tm.end()
     collect = name in (
-        "td", "th", "img", "source", "video", "audio", "meta", "a"
+        "td", "th", "img", "source", "video", "audio", "meta", "a",
+        "col", "colgroup",
     )
     attrs: list | tuple = [] if collect else ()
     while k < endpos:  # consume attributes exactly like parse_starttag

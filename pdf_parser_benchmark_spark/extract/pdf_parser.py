@@ -848,6 +848,22 @@ class PdfDocument:
                     k=int(self.resolve(pm2.get("/K")) or 0),
                     black_is_1=bool(self.resolve(pm2.get("/BlackIs1"))),
                 )
+            elif f == "/JBIG2Decode":
+                # §7.4.7: embedded JBIG2 segment stream (generic-region
+                # subset, from-scratch T.88 codec in multimodal/jbig2.py);
+                # decoded content is packed 1-bit byte-padded rows with
+                # 0 = black, the same convention as /CCITTFaxDecode. An
+                # optional /JBIG2Globals side stream is logically
+                # prepended after its own filter chain is applied.
+                from ..multimodal.jbig2 import jbig2_decode as _jb
+
+                pm2 = self.resolve(pm) or {}
+                gref = pm2.get("/JBIG2Globals")
+                gdata = None
+                if gref is not None:
+                    gstream = self.resolve(gref)
+                    gdata = self.stream_data(gstream)
+                data = _jb(bytes(data), globals_data=gdata)
             elif f in (None,):
                 pass
             else:

@@ -352,6 +352,37 @@ def build_pdf(
                     + data
                     + b"\nendstream"
                 ))
+            elif filt == "jbig2":
+                # embedded JBIG2 segment stream (§7.4.7), generic-region
+                # subset from multimodal/jbig2.py:jbig2_embed_encode
+                nums.append(add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    b"/Filter /JBIG2Decode "
+                    b"/Length %d >>\nstream\n" % (iw, ih, len(data))
+                    + data
+                    + b"\nendstream"
+                ))
+            elif filt == "jbig2g":
+                # same, but document-scope segments split into a separate
+                # /JBIG2Globals stream referenced from /DecodeParms; data
+                # is the (globals_bytes, stream_bytes) pair produced by
+                # jbig2_embed_encode(split_globals=True)
+                gdata, sdata = data
+                gnum = add(
+                    b"<< /Length %d >>\nstream\n" % len(gdata)
+                    + gdata
+                    + b"\nendstream"
+                )
+                nums.append(add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    b"/Filter /JBIG2Decode /DecodeParms "
+                    b"<< /JBIG2Globals %d 0 R >> "
+                    b"/Length %d >>\nstream\n" % (iw, ih, gnum, len(sdata))
+                    + sdata
+                    + b"\nendstream"
+                ))
             else:
                 cs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
                 nums.append(add(

@@ -199,3 +199,42 @@ def test_subtree_scoring_spares_content_with_long_block():
             "<p><a href=/x>a link of moderate length here</a></p></div></main>")
     texts = [b.text for b in extract_main_blocks(html)]
     assert long_para in texts
+
+
+def test_colgroup_col_widths_attach_to_rows():
+    """<colgroup>/<col> widths (attribute, span expansion, style width,
+    colgroup-level width with the omitted end tag real pages use) land on
+    every table_row block; nested tables keep their own width lists."""
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_fast,
+        parse_html_blocks_stdlib,
+    )
+
+    html = (
+        '<table><colgroup><col width="100">'
+        '<col span="2" style="width: 20%"></colgroup>'
+        "<tr><td>a</td><td>b</td><td>c</td></tr>"
+        '<tr><td>d<table><col width="7"><tr><td>in</td></tr></table>'
+        "</td><td>e</td><td>f</td></tr></table>"
+        '<table><colgroup span="2" width="50"><tr><td>g</td><td>h</td></tr>'
+        "</table>"
+    )
+    blocks = parse_html_blocks_stdlib(html)
+    assert blocks == parse_html_blocks_fast(html)
+    widths = [b.col_widths for b in blocks if b.tag == "table_row"]
+    assert widths == [
+        ("100", "20%", "20%"),
+        ("7",),  # the nested table's own single column
+        ("100", "20%", "20%"),
+        ("50", "50"),
+    ]
+
+
+def test_no_colgroup_leaves_col_widths_empty():
+    from pdf_parser_benchmark_spark.extract.html_extractor import (
+        parse_html_blocks_stdlib,
+    )
+
+    blocks = parse_html_blocks_stdlib("<table><tr><td>a</td></tr></table>")
+    (row,) = [b for b in blocks if b.tag == "table_row"]
+    assert row.col_widths == ()
