@@ -3762,6 +3762,45 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample_plan(_media_df(spark, sf), every_ms=1000)
 
 
+# ===========================================================================
+# link-graph analytics — PageRank (integer fixed-point, exact oracle)
+# ===========================================================================
+
+_PR_EDGES_SQL = """edges AS (
+  SELECT DISTINCT user_id % 97 AS src, event_id % 89 AS dst
+  FROM events WHERE user_id % 97 <> event_id % 89
+)"""
+
+
+def _pagerank_oracle() -> str:
+    from .operators.linkgraph import pagerank_unrolled_sql
+
+    return pagerank_unrolled_sql(_PR_EDGES_SQL, iters=4, damping_pct=85)
+
+
+@query("pagerank", None)  # oracle attached below (built by helper)
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over a deterministic events-derived page graph (src/dst
+    node classes collide at 97/89 moduli so the graph has hubs, cycles
+    AND dangling nodes — the dangling-mass redistribution path is live).
+    Integer micro-unit ranks ⇒ bit-exact vs the unrolled-CTE twin."""
+    from .operators.linkgraph import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            (F.col("event_id") % 89).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=4, damping_pct=85)
+
+
+ORACLES["pagerank"] = _pagerank_oracle()
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
