@@ -1,0 +1,109 @@
+"""Webtext curation filters — C4 line/document rules (Raffel et al. 2020,
+"Exploring the Limits of Transfer Learning...", §2.2) as zero-shuffle
+in-row array expressions.
+
+The C4 rules implemented (paper wording → rule):
+- "retained only lines that ended in a terminal punctuation mark"
+- "only retained lines that contained at least 5 words"
+- "removed any line with the word Javascript"
+- "removed any lines containing ... 'cookie policy'" (policy boilerplate)
+- "discarded any page with fewer than 3 sentences" (kept lines stand in
+  for sentences)
+- "removed any page where the phrase 'lorem ipsum' appeared"
+- "removed any pages that contained a curly bracket"
+
+The driver corpus (documents.text) is a flat token stream with no line
+structure or punctuation, so — like q:robots_txt_gate synthesizes URL
+paths — `c4_lines` derives a deterministic line view (fixed words-per-line
+chunking, arithmetic-scheduled punctuation and trigger phrases) that both
+engines construct identically; the FILTER rules on top are the real C4
+rules. On real web text, feed actual lines into `c4_doc_signals` instead.
+
+Scale shape: everything is per-row `transform`/`filter`/`array_join` over
+the split token array — no explode, no shuffle, whole rows never leave
+their input partition. Survives 10^12 docs by construction.
+
+Reference scoped: the reference repo has no curation stage (it ingests
+curated book PDFs, /root/reference/src/ingest.py); this is part of the
+engine's training-data-pipeline extension surface (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WORDS_PER_LINE = 6
+MIN_WORDS_PER_LINE = 5
+MIN_SENTENCES = 3
+POLICY_PHRASE = "cookie policy"
+
+
+def c4_lines(doc_id: Column, text: Column,
+             wpl: int = WORDS_PER_LINE) -> Column:
+    """Deterministic line view of a flat token stream: chunks of `wpl`
+    words, with punctuation and C4 trigger phrases scheduled by
+    (doc_id, line_no) arithmetic so both engines build identical lines.
+
+    Schedule (all mutually exclusive by line index):
+      line 0 of doc_id%31==0  += " lorem ipsum"   (page-kill phrase)
+      line 2 of doc_id%29==0  += " {x}"           (curly-bracket page kill)
+      line 1 of doc_id%7==0   += " javascript"    (line kill)
+      line 3 of doc_id%23==0  += " cookie policy" (policy-line kill)
+      terminal '.' on every line where (doc_id + i) % 4 != 3
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n_lines = F.greatest(
+        F.floor((F.size(words) + wpl - 1) / F.lit(wpl)).cast("int"), F.lit(1)
+    )
+
+    def build(i: Column) -> Column:
+        base = F.array_join(F.slice(words, i * wpl + 1, F.lit(wpl)), " ")
+        return F.concat(
+            base,
+            F.when((doc_id % 31 == 0) & (i == 0), " lorem ipsum")
+             .otherwise(""),
+            F.when((doc_id % 29 == 0) & (i == 2), " {x}").otherwise(""),
+            F.when((doc_id % 7 == 0) & (i == 1), " javascript")
+             .otherwise(""),
+            F.when((doc_id % 23 == 0) & (i == 3), F.lit(" " + POLICY_PHRASE))
+             .otherwise(""),
+            F.when((doc_id + i) % 4 != 3, ".").otherwise(""),
+        )
+
+    return F.transform(F.sequence(F.lit(0), n_lines - 1), build)
+
+
+def c4_line_kept(line: Column) -> Column:
+    """C4 line-level rule: terminal punctuation, >=5 words, no
+    'javascript', no policy phrase."""
+    return (
+        line.rlike(r'[.!?"]$')
+        & (F.size(F.split(line, " ")) >= MIN_WORDS_PER_LINE)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+        & ~F.contains(F.lower(line), F.lit(POLICY_PHRASE))
+    )
+
+
+def c4_doc_signals(lines: Column) -> dict[str, Column]:
+    """C4 document-level signals over a line array: kept-line view, the
+    page-kill flags, the keep decision, and the first failed rule."""
+    kept = F.filter(lines, c4_line_kept)
+    has_lorem = F.exists(
+        lines, lambda x: F.contains(F.lower(x), F.lit("lorem ipsum")))
+    has_brace = F.exists(lines, lambda x: F.contains(x, F.lit("{")))
+    n_kept = F.size(kept)
+    keep = ~has_lorem & ~has_brace & (n_kept >= MIN_SENTENCES)
+    reason = (
+        F.when(has_lorem, "lorem_ipsum")
+        .when(has_brace, "curly_brace")
+        .when(n_kept < MIN_SENTENCES, "too_few_sentences")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "n_lines": F.size(lines),
+        "n_kept": n_kept,
+        "keep": keep,
+        "fail_reason": reason,
+        "clean_text": F.when(keep, F.array_join(kept, "\n"))
+                       .otherwise(F.lit(None).cast("string")),
+    }

@@ -3801,6 +3801,73 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 ORACLES["pagerank"] = _pagerank_oracle()
 
 
+_C4_LINES_SQL = r"""
+  SELECT doc_id,
+    list_transform(
+      range(greatest((len(string_split_regex(trim(text), '\s+'))+5)//6,
+                     1)::BIGINT),
+      i ->
+        array_to_string(
+          (string_split_regex(trim(text), '\s+'))[i*6+1 : i*6+6], ' ')
+        || CASE WHEN doc_id % 31 = 0 AND i = 0 THEN ' lorem ipsum'
+                ELSE '' END
+        || CASE WHEN doc_id % 29 = 0 AND i = 2 THEN ' {x}' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 AND i = 1 THEN ' javascript'
+                ELSE '' END
+        || CASE WHEN doc_id % 23 = 0 AND i = 3 THEN ' cookie policy'
+                ELSE '' END
+        || CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END
+    ) AS lines
+  FROM documents"""
+
+
+@query(
+    "c4_filters",
+    f"""WITH l AS ({_C4_LINES_SQL}),
+s AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= 5
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie policy')) AS kept,
+         len(list_filter(lines,
+             x -> contains(lower(x), 'lorem ipsum'))) > 0 AS has_lorem,
+         len(list_filter(lines, x -> contains(x, '{{'))) > 0 AS has_brace
+  FROM l
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+       NOT has_lorem AND NOT has_brace AND len(kept) >= 3 AS keep,
+       CASE WHEN has_lorem THEN 'lorem_ipsum'
+            WHEN has_brace THEN 'curly_brace'
+            WHEN len(kept) < 3 THEN 'too_few_sentences'
+            ELSE NULL END AS fail_reason,
+       CASE WHEN NOT has_lorem AND NOT has_brace AND len(kept) >= 3
+            THEN array_to_string(kept, chr(10)) ELSE NULL END AS clean_text
+FROM s""",
+)
+def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 corpus filters (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation / >=5-words / javascript / policy-phrase rules, document-
+    level lorem-ipsum / curly-brace / >=3-sentences rules, with the kept
+    text and the first failed rule per doc. The line view is derived
+    deterministically from the flat token stream (operators/curation.py);
+    the filter rules are the paper's. Zero-shuffle in-row plan."""
+    from .operators.curation import c4_doc_signals, c4_lines
+
+    docs = _t(spark, sf, "documents")
+    lines = c4_lines(F.col("doc_id"), F.col("text"))
+    s = c4_doc_signals(lines)
+    return docs.select(
+        "doc_id",
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        s["keep"].alias("keep"),
+        s["fail_reason"].alias("fail_reason"),
+        s["clean_text"].alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -1,0 +1,85 @@
+"""C4 curation filter tests: rule firing per class, edge cases, and the
+zero-shuffle plan pin."""
+
+from pyspark.sql import functions as F
+
+from pdf_parser_benchmark_spark.operators.curation import (
+    c4_doc_signals,
+    c4_line_kept,
+    c4_lines,
+)
+from pdf_parser_benchmark_spark.queries import QUERIES
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def _doc(spark, doc_id: int, text: str):
+    return spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+
+
+def _signals(spark, doc_id: int, text: str) -> dict:
+    df = _doc(spark, doc_id, text)
+    s = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))
+    row = df.select(
+        *[v.alias(k) for k, v in s.items()]
+    ).collect()[0]
+    return row.asDict()
+
+
+def test_line_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("one two three four five.",),       # kept
+            ("one two three four.",),            # <5 words
+            ("one two three four five",),        # no terminal punct
+            ("one two javascript four five.",),  # javascript
+            ("read our cookie policy now ok.",), # policy phrase
+            ('he said "stop right there now."',),# quote counts as terminal
+        ],
+        "line string",
+    )
+    got = [r[0] for r in df.select(c4_line_kept(F.col("line"))).collect()]
+    assert got == [True, False, False, False, False, True]
+
+
+def test_doc_rules_fire_by_class(spark):
+    text = " ".join(["tok"] * 60)  # 10 lines of 6 words
+    # doc_id 62 = 2*31: lorem ipsum on line 0 → page killed
+    s = _signals(spark, 62, text)
+    assert s["keep"] is False and s["fail_reason"] == "lorem_ipsum"
+    assert s["clean_text"] is None
+    # doc_id 58 = 2*29: curly brace on line 2 → page killed
+    s = _signals(spark, 58, text)
+    assert s["keep"] is False and s["fail_reason"] == "curly_brace"
+    # doc_id 1: no injections, punctuation on 3 of every 4 lines → keep
+    s = _signals(spark, 1, text)
+    assert s["keep"] is True and s["fail_reason"] is None
+    assert s["n_lines"] == 10 and s["n_kept"] >= 3
+    assert s["clean_text"].count("\n") == s["n_kept"] - 1
+    # short doc (one line) → too few sentences
+    s = _signals(spark, 1, "a b c d e f")
+    assert s["keep"] is False and s["fail_reason"] == "too_few_sentences"
+
+
+def test_javascript_kills_line_not_doc(spark):
+    text = " ".join(["tok"] * 60)  # 10 lines of 6 words
+    js = _signals(spark, 7, text)  # javascript injected on line 1
+    # doc 7 punct schedule: no '.' on lines {0,4,8} → 7 punctuated lines;
+    # the javascript rule kills punctuated line 1 → 6 kept, doc survives
+    assert js["n_kept"] == 6 and js["keep"] is True
+
+
+def test_empty_and_tiny_text(spark):
+    s = _signals(spark, 3, "   ")
+    assert s["n_lines"] == 1 and s["keep"] is False
+    s = _signals(spark, 3, "word")
+    assert s["n_lines"] == 1 and s["n_kept"] == 0
+
+
+def test_c4_plan_is_shuffle_free(spark, sf_dir):
+    plan = _plan(QUERIES["c4_filters"](spark, sf_dir))
+    assert "Exchange" not in plan
