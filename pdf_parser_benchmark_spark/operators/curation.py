@@ -38,6 +38,75 @@ MIN_SENTENCES = 3
 POLICY_PHRASE = "cookie policy"
 
 
+def unigram_surprisal_tiers(docs, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """CCNet-style perplexity tier bucketing (Wenzek et al. 2020): score
+    every document by language-model surprisal, then bucket the corpus
+    into head / middle / tail terciles — the tier-extraction stage of a
+    webtext curation pipeline.
+
+    Adaptations for a deterministic two-engine gate:
+    - the LM is an add-one-smoothed unigram over the corpus itself
+      (CCNet uses a pretrained KenLM 5-gram; same pipeline shape);
+    - surprisal is integer bits: s(w) = floor(log2((N+V)/(c(w)+1)))
+      computed as length(bin((N+V) div (c(w)+1))) - 1 — transcendental-
+      free, so Spark and DuckDB agree bit-exactly;
+    - doc score = (1000 * sum bits) div n_tokens (milli-bits/token);
+    - tier cutoffs are the smallest scores whose cumulative doc count
+      reaches ceil(n/3) / ceil(2n/3); ties share a tier.
+
+    Scale shape: token counts are one map-side-combined shuffle; scoring
+    joins tokens to the LM on token hash (AQE may broadcast a small
+    vocab); the tercile thresholds come from the SCORE HISTOGRAM — a
+    relation bounded by the score range (~64k milli-bit values), never by
+    corpus size — via a broadcast self-join cumsum, so there is no global
+    sort and no unpartitioned window at 10^12 docs.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("n_total"),
+                        F.count("*").alias("vocab"))
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (F.length(F.bin(F.expr("(n_total + vocab) DIV (cnt + 1)"))) - 1)
+        .cast("long").alias("tok_bits"),
+    )
+    scored = (
+        toks.join(lm, "tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("tok_bits").alias("bits"))
+        .select(id_col, "n_tokens", "bits",
+                F.expr("(bits * 1000) DIV n_tokens").alias("score_milli"))
+    )
+    hist = scored.groupBy("score_milli").agg(F.count("*").alias("cnt"))
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")),
+              F.col("b.score_milli") <= F.col("a.score_milli"))
+        .groupBy(F.col("a.score_milli").alias("score_milli"))
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(cum.agg(F.max("cum").alias("n"))))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"),
+                         F.col("score_milli"))).alias("t1"),
+            F.min(F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"),
+                         F.col("score_milli"))).alias("t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col, "n_tokens", "bits", "score_milli",
+        F.when(F.col("score_milli") <= F.col("t1"), "head")
+         .when(F.col("score_milli") <= F.col("t2"), "middle")
+         .otherwise("tail").alias("tier"),
+    )
+
+
 def c4_lines(doc_id: Column, text: Column,
              wpl: int = WORDS_PER_LINE) -> Column:
     """Deterministic line view of a flat token stream: chunks of `wpl`

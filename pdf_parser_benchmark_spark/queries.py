@@ -3868,6 +3868,53 @@ def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "perplexity_tiers",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+lm AS (
+  SELECT tok,
+         CAST(length(bin(CAST((n_total + vocab) // (cnt + 1) AS BIGINT)))
+              - 1 AS BIGINT) AS tok_bits
+  FROM cnts, tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tok_bits) AS BIGINT) AS bits,
+         CAST((sum(tok_bits) * 1000) // count(*) AS BIGINT) AS score_milli
+  FROM toks JOIN lm USING (tok) GROUP BY doc_id
+),
+hist AS (SELECT score_milli, count(*) AS cnt FROM scored GROUP BY score_milli),
+cum AS (
+  SELECT a.score_milli, sum(b.cnt) AS cum
+  FROM hist a JOIN hist b ON b.score_milli <= a.score_milli
+  GROUP BY a.score_milli
+),
+thr AS (
+  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN score_milli END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_milli END) AS t2
+  FROM cum, (SELECT max(cum) AS n FROM cum) t
+)
+SELECT doc_id, n_tokens, bits, score_milli,
+       CASE WHEN score_milli <= t1 THEN 'head'
+            WHEN score_milli <= t2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM scored, thr""",
+)
+def q_perplexity_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style tier extraction (Wenzek et al. 2020): add-one unigram
+    LM surprisal in integer bits per doc, tercile bucketing into
+    head/middle/tail via a bounded score-histogram cumsum — no global
+    sort, no unpartitioned window (operators/curation.py)."""
+    from .operators.curation import unigram_surprisal_tiers
+
+    return unigram_surprisal_tiers(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -83,3 +83,34 @@ def test_empty_and_tiny_text(spark):
 def test_c4_plan_is_shuffle_free(spark, sf_dir):
     plan = _plan(QUERIES["c4_filters"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_perplexity_tiers_hand_computed(spark):
+    # counts: a=7 b=2 c=d=e=1; N=12 V=5 → N+V=17
+    # bits: a=floor(log2(17//8))=1, b=floor(log2(17//3))=2, cde=3
+    from pdf_parser_benchmark_spark.operators.curation import (
+        unigram_surprisal_tiers,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a a b"), (2, "b c d e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in unigram_surprisal_tiers(docs).collect()}
+    assert rows[0]["bits"] == 4 and rows[0]["score_milli"] == 1000
+    assert rows[1]["bits"] == 5 and rows[1]["score_milli"] == 1250
+    assert rows[2]["bits"] == 11 and rows[2]["score_milli"] == 2750
+    assert [rows[i]["tier"] for i in (0, 1, 2)] == ["head", "middle", "tail"]
+
+
+def test_perplexity_tiers_ties_share_tier(spark):
+    from pdf_parser_benchmark_spark.operators.curation import (
+        unigram_surprisal_tiers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(6)], "doc_id long, text string"
+    )
+    tiers = {r["tier"] for r in unigram_surprisal_tiers(docs).collect()}
+    assert tiers == {"head"}
