@@ -107,6 +107,61 @@ def unigram_surprisal_tiers(docs, text_col: str = "text",
     )
 
 
+def domain_mixture_sample(docs, weights, frac_num: int = 1,
+                          frac_den: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          domain_col: str = "source"):
+    """Domain-mixture sampling (the data-mixing stage of The Pile /
+    DoReMi-style corpus assembly): give each domain a token budget
+    proportional to its target mixture weight, then fill each budget with
+    a deterministic hash-priority scan of that domain's documents.
+
+    budget(s) = (T * w_s * frac_num) div (W * frac_den), where T = total
+    corpus tokens, W = sum of weights — i.e. a frac_num/frac_den slice of
+    the corpus, re-apportioned by the target mixture. Within a domain,
+    docs are ranked by md5(doc_id) (stable, uniform, engine-agnostic) and
+    kept while the inclusive running token total fits the budget.
+
+    Scale shape: one per-domain window (partitioned by domain — skewed
+    hosts can be pre-salted upstream), one token-total aggregate, budgets
+    joined back on domain (AQE broadcasts when small). All-integer math ⇒
+    bit-exact vs the SQL twin.
+
+    `weights`: DataFrame(domain_col, w:int).
+    """
+    toks = docs.select(
+        id_col, domain_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    tot = toks.agg(F.sum("n_tokens").alias("t_total"))
+    wsum = weights.agg(F.sum("w").alias("w_total"))
+    budgets = (
+        weights.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(wsum))
+        .select(
+            domain_col,
+            F.expr(
+                f"(t_total * w * {int(frac_num)}) "
+                f"DIV (w_total * {int(frac_den)})"
+            ).alias("budget"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(domain_col)
+        .orderBy("priority", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn(
+        "priority", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return ranked.join(budgets, domain_col).select(
+        id_col, domain_col, "n_tokens", "priority", "cum_tokens", "budget",
+        (F.col("cum_tokens") <= F.col("budget")).alias("keep"),
+    )
+
+
 def c4_lines(doc_id: Column, text: Column,
              wpl: int = WORDS_PER_LINE) -> Column:
     """Deterministic line view of a flat token stream: chunks of `wpl`

@@ -3915,6 +3915,56 @@ def q_perplexity_tiers(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_surprisal_tiers(_t(spark, sf, "documents"))
 
 
+@query(
+    "domain_mix",
+    r"""WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+wts AS (
+  SELECT source,
+         (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3) + 1 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+),
+tot AS (SELECT sum(n_tokens) AS t_total FROM toks),
+wsum AS (SELECT sum(w) AS w_total FROM wts),
+budgets AS (
+  SELECT source, (t_total * w * 1) // (w_total * 2) AS budget
+  FROM wts, tot, wsum
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS priority,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT r.doc_id, r.source, r.n_tokens, r.priority, r.cum_tokens,
+       CAST(b.budget AS BIGINT) AS budget,
+       r.cum_tokens <= b.budget AS keep
+FROM ranked r JOIN budgets b USING (source)""",
+)
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling (The Pile / DoReMi data-mixing shape):
+    per-source token budgets from target mixture weights (w = src_num%3+1
+    over a half-corpus slice), filled by md5-priority scan with an
+    inclusive running-total cutoff (operators/curation.py). All-integer ⇒
+    bit-exact."""
+    from .operators.curation import domain_mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    weights = docs.select("source").distinct().select(
+        "source",
+        ((F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3) + 1)
+        .alias("w"),
+    )
+    return domain_mixture_sample(docs, weights)
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -85,6 +85,37 @@ def test_c4_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_domain_mix_budgets_and_greedy_maximality(spark):
+    from pdf_parser_benchmark_spark.operators.curation import (
+        domain_mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hostA" if i % 2 == 0 else "hostB", "w " * (5 + i % 7))
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("hostA", 1), ("hostB", 3)], "source string, w int"
+    )
+    rows = domain_mixture_sample(docs, weights).collect()
+    t_total = sum(r["n_tokens"] for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        w = 1 if src == "hostA" else 3
+        budget = (t_total * w) // (4 * 2)  # W=4, frac=1/2
+        assert all(r["budget"] == budget for r in rs)
+        rs.sort(key=lambda r: (r["priority"], r["doc_id"]))
+        kept = [r for r in rs if r["keep"]]
+        # kept is exactly the maximal prefix that fits the budget
+        assert kept == [r for r in rs if r["cum_tokens"] <= budget]
+        if len(kept) < len(rs):
+            first_dropped = rs[len(kept)]
+            assert first_dropped["cum_tokens"] > budget
+
+
 def test_perplexity_tiers_hand_computed(spark):
     # counts: a=7 b=2 c=d=e=1; N=12 V=5 → N+V=17
     # bits: a=floor(log2(17//8))=1, b=floor(log2(17//3))=2, cde=3
