@@ -79,6 +79,69 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """ExactSubstr duplicate-span inventory (Lee et al. 2021 §4.1): find
+    every maximal token span whose k-token windows ALL occur more than
+    once corpus-wide — the spans ExactSubstr would cut. The paper builds
+    a single suffix array over the concatenated corpus; distributed, the
+    equivalent coverage comes from hashing every overlapping k-token
+    window (in-row, from the split token array — no position self-join),
+    keeping windows whose hash repeats corpus-wide, and merging
+    overlapping-or-adjacent surviving windows per doc into maximal spans
+    (islands: new span when the window start jumps by more than k).
+
+    Returns (id, span_start, span_end, n_windows) with token indices,
+    span_end inclusive. Paper uses k=50 bytes; k is a parameter — small
+    corpora want small k.
+
+    Scale shape: one map-side-combined shuffle of (hash) for the dup
+    census, one semi-join shuffle of (hash, id, pos) triples (bodies
+    never move), then a doc-partitioned window for the merge.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    win_hashes = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(
+                F.array_join(F.slice(words, i + 1, F.lit(k)), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_hashes).alias("wpos", "whash"),
+    )
+    wins = _scoped_persist(wins)
+    dups = (
+        wins.groupBy("whash").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("whash")
+    )
+    survivors = wins.join(dups, "whash", "left_semi")
+
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("id").orderBy("wpos")
+    flagged = survivors.withColumn(
+        "new_span",
+        F.when(
+            F.col("wpos") - F.lag("wpos").over(order) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("id", "span_id").agg(
+        F.min("wpos").alias("span_start"),
+        (F.max("wpos") + k - 1).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("id", "span_start", "span_end", "n_windows")
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide exact paragraph dedup (Lee et al. 2021, "Deduplicating
 # Training Data Makes Language Models Better" — the ExactSubstr idea at

@@ -3965,6 +3965,50 @@ def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return domain_mixture_sample(docs, weights)
 
 
+@query(
+    "dup_spans",
+    r"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, words, unnest(range(len(words) - 4)) AS wpos
+  FROM w WHERE len(words) >= 5
+),
+wins AS (
+  SELECT doc_id, wpos,
+         md5(array_to_string(words[wpos+1 : wpos+5], ' ')) AS whash
+  FROM wins0
+),
+dups AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) > 1),
+surv AS (
+  SELECT doc_id, wpos,
+         CASE WHEN wpos - lag(wpos) OVER (PARTITION BY doc_id
+                                          ORDER BY wpos) <= 5
+              THEN 0 ELSE 1 END AS new_span
+  FROM wins SEMI JOIN dups USING (whash)
+),
+spans AS (
+  SELECT doc_id, wpos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM surv
+)
+SELECT doc_id AS id, CAST(min(wpos) AS BIGINT) AS span_start,
+       CAST(max(wpos) + 4 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM spans GROUP BY doc_id, span_id""",
+)
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr duplicate-span inventory (Lee et al. 2021): maximal
+    token spans whose 5-token windows all repeat corpus-wide — the spans
+    the suffix-array method would cut (operators/dedup.py:duplicate_spans,
+    distributed as window-hash census + semi-join + islands merge)."""
+    return DD.duplicate_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

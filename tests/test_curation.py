@@ -135,6 +135,34 @@ def test_perplexity_tiers_hand_computed(spark):
     assert [rows[i]["tier"] for i in (0, 1, 2)] == ["head", "middle", "tail"]
 
 
+def test_dup_spans_detect_merge_and_split(spark):
+    from pdf_parser_benchmark_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b p q r s t u v w"),            # phrase at tokens 2..6
+            (1, "p q r s t x y z n1 n2"),          # phrase at 0..4
+            (2, "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),  # two regions
+            (3, "p q r s t u2 v2 w2 x2 y2"),       # adjacent dup windows
+            (4, "u2 v2 w2 x2 y2 k1 k2 k3"),
+            (5, "too short"),                       # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert spans[(0, 2, 6)] == 1
+    assert spans[(1, 0, 4)] == 1
+    # doc 2: gap of 11 > k → two separate maximal spans
+    assert spans[(2, 0, 4)] == 1 and spans[(2, 11, 15)] == 1
+    # doc 3: windows at 0 and 5 (gap == k) merge into one span 0..9
+    assert spans[(3, 0, 9)] == 2
+    assert spans[(4, 0, 4)] == 1
+    assert not any(k[0] == 5 for k in spans)
+
+
 def test_perplexity_tiers_ties_share_tier(spark):
     from pdf_parser_benchmark_spark.operators.curation import (
         unigram_surprisal_tiers,
