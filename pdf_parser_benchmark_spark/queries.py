@@ -4009,6 +4009,65 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_distinct",
+    r"""WITH ws AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM ws
+),
+vals AS (SELECT source, unnest(shs) AS val FROM sh),
+hb AS (
+  SELECT source, val, ('0x' || substr(md5(val), 1, 15))::BIGINT AS h
+  FROM vals
+),
+rb AS (
+  SELECT source, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM hb
+),
+regs AS (
+  SELECT source, bucket, max(rho) AS m_reg FROM rb GROUP BY source, bucket
+),
+sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(1::BIGINT << (55 - m_reg))
+              + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum
+  FROM regs GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM vals GROUP BY source
+)
+SELECT source, exact_distinct, n_buckets, reg_sum,
+       CAST(FLOOR(CAST(709340 AS DOUBLE) / 1000000.0 * 4096.0
+            * CAST(36028797018963968 AS DOUBLE)
+            / CAST(reg_sum AS DOUBLE)) AS BIGINT) AS hll_est
+FROM ex JOIN sums USING (source)""",
+)
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate per source (Flajolet et al.
+    2007) with all-integer registers (operators/sketch.py) — shuffle
+    volume is m=64 registers per key regardless of cardinality — next to
+    the exact count for calibration."""
+    from .operators.sketch import hll_distinct
+
+    docs = _t(spark, sf, "documents")
+    vals = docs.select(
+        "source", F.explode(TXT.shingles(F.col("text"), 3)).alias("val")
+    )
+    return hll_distinct(vals, "source", "val", p=6)
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
