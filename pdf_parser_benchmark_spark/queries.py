@@ -4068,6 +4068,144 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return hll_distinct(vals, "source", "val", p=6)
 
 
+@query(
+    "curation_pipeline",
+    f"""WITH w AS (
+  SELECT doc_id, text, lang,
+         string_split_regex(trim(text), '\\s+') AS words,
+         string_split_regex(lower(trim(text)), '\\s+') AS lwords
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, lang, words,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> len(x)))
+           / greatest(len(words), 1)::DOUBLE AS mean_wl,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           / greatest(len(words), 1)::DOUBLE AS alpha_frac,
+         ((len(text) - len(replace(text, '#', '')))
+          + len(regexp_extract_all(text, '\\.\\.\\.|…')))
+           / greatest(len(words), 1)::DOUBLE AS symbol_ratio,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         x -> list_contains(lwords, x))) AS n_stop
+  FROM w
+),
+c4l AS ({_C4_LINES_SQL}),
+c4 AS (
+  SELECT doc_id,
+         len(list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= 5
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie policy'))) >= 3
+         AND len(list_filter(lines,
+             x -> contains(lower(x), 'lorem ipsum'))) = 0
+         AND len(list_filter(lines, x -> contains(x, '{{'))) = 0 AS p_c4
+  FROM c4l
+),
+base AS (
+  SELECT g.doc_id, g.text, g.lang = 'en' AS p_lang,
+         (n_words BETWEEN 30 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+           AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+           AND n_stop >= 1 AS p_gopher,
+         c4.p_c4,
+         md5(array_to_string(words[1:3], ' ')) AS pk
+  FROM g JOIN c4 USING (doc_id)
+),
+keepers AS (
+  SELECT pk, min(doc_id) AS keep_id FROM base
+  WHERE p_lang AND p_gopher AND p_c4 GROUP BY pk
+),
+staged AS (
+  SELECT doc_id, text,
+         CASE WHEN NOT p_lang THEN 'lang'
+              WHEN NOT p_gopher THEN 'gopher'
+              WHEN NOT p_c4 THEN 'c4'
+              WHEN doc_id <> keep_id THEN 'dup'
+              ELSE 'kept' END AS stage
+  FROM base LEFT JOIN keepers USING (pk)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM staged WHERE stage = 'kept'
+),
+cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+lm AS (
+  SELECT tok,
+         CAST(length(bin(CAST((n_total + vocab) // (cnt + 1) AS BIGINT)))
+              - 1 AS BIGINT) AS tok_bits
+  FROM cnts, tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST((sum(tok_bits) * 1000) // count(*) AS BIGINT) AS score_milli
+  FROM toks JOIN lm USING (tok) GROUP BY doc_id
+),
+hist AS (SELECT score_milli, count(*) AS cnt FROM scored GROUP BY score_milli),
+cum AS (
+  SELECT a.score_milli, sum(b.cnt) AS cum
+  FROM hist a JOIN hist b ON b.score_milli <= a.score_milli
+  GROUP BY a.score_milli
+),
+thr AS (
+  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN score_milli END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_milli END) AS t2
+  FROM cum, (SELECT max(cum) AS n FROM cum) t
+),
+tiers AS (
+  SELECT doc_id,
+         CASE WHEN score_milli <= t1 THEN 'head'
+              WHEN score_milli <= t2 THEN 'middle'
+              ELSE 'tail' END AS tier
+  FROM scored, thr
+)
+SELECT s.doc_id, s.stage, t.tier
+FROM staged s LEFT JOIN tiers t USING (doc_id)""",
+)
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed FineWeb/RefinedWeb-shaped curation pipeline: target-
+    language select → Gopher quality rules → C4 filters → leading-
+    content exact dedup (keep min id per 3-token-prefix md5) → CCNet
+    perplexity tiers over the survivors. Emits per doc the eliminating
+    stage ('lang'|'gopher'|'c4'|'dup'|'kept') and the tier for kept docs.
+    Stage predicates are all in-row; the only shuffles are the dedup
+    groupBy and the tier LM — the same funnel shape a 10^12-doc curation
+    run would use."""
+    from .operators.curation import (
+        c4_doc_signals,
+        c4_lines,
+        unigram_surprisal_tiers,
+    )
+
+    docs = _t(spark, sf, "documents")
+    gk, _ = TXT.gopher_keep(F.col("text"), min_words=30, min_stop=1)
+    p_c4 = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))["keep"]
+    pk = F.md5(F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "))
+    base = docs.select(
+        "doc_id", "text",
+        (F.col("lang") == "en").alias("p_lang"),
+        gk.alias("p_gopher"), p_c4.alias("p_c4"), pk.alias("pk"),
+    )
+    keepers = (
+        base.filter("p_lang AND p_gopher AND p_c4")
+        .groupBy("pk").agg(F.min("doc_id").alias("keep_id"))
+    )
+    staged = base.join(keepers, "pk", "left").select(
+        "doc_id", "text",
+        F.when(~F.col("p_lang"), "lang")
+         .when(~F.col("p_gopher"), "gopher")
+         .when(~F.col("p_c4"), "c4")
+         .when(F.col("doc_id") != F.col("keep_id"), "dup")
+         .otherwise("kept").alias("stage"),
+    )
+    tiers = unigram_surprisal_tiers(
+        staged.filter(F.col("stage") == "kept").select("doc_id", "text")
+    ).select("doc_id", "tier")
+    return staged.select("doc_id", "stage").join(tiers, "doc_id", "left")
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
