@@ -318,6 +318,23 @@ def main() -> None:
     exact10.unpersist()
     vec_queries.unpersist()
 
+    # --- curation lane: the composed webtext funnel (lang → gopher → C4 →
+    # prefix-dedup → perplexity tiers) over the sf documents table.
+    # Side lane (not in HEADLINE) to keep the value_warm series comparable.
+    QUERIES["curation_pipeline"](spark, SF_DIR).count()  # warm-up
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    cur = QUERIES["curation_pipeline"](spark, SF_DIR)
+    n_cur = cur.count()
+    t_cur = time.monotonic() - t0
+    n_kept = cur.filter(F.col("stage") == "kept").count()
+    curation_lane = {
+        "docs": n_cur,
+        "kept": n_kept,
+        "sec": round(t_cur, 3),
+        "docs_per_sec": round(n_cur / t_cur, 1),
+    }
+
     from pdf_parser_benchmark_spark.operators.dedup import release_intermediates
 
     # two lanes per query (this VM shows ±30% trial noise, so cold is a
@@ -373,6 +390,7 @@ def main() -> None:
                 "extract_by_class": extract_by_class,
                 "skew_extract": skew_lane,
                 "ann_100k": ann_100k,
+                "curation": curation_lane,
                 "queries_warm": warm_timings,
                 "corpus_version": CORPUS_VERSION,
                 "cpus": CPUS,

@@ -1,5 +1,6 @@
-"""Cardinality sketches — HyperLogLog (Flajolet et al. 2007) with an
-all-integer register path so Spark and the DuckDB oracle agree bit-exactly.
+"""Streaming-summary sketches — HyperLogLog cardinality (Flajolet et al.
+2007) and count-min frequency (Cormode & Muthukrishnan 2005), both with
+all-integer register paths so Spark and the DuckDB oracle agree bit-exactly.
 
 Spark ships `approx_count_distinct` (HLL++), but its binary sketch is not
 reproducible in ANSI SQL; this implementation exposes the registers as
@@ -29,6 +30,100 @@ from pyspark.sql import DataFrame, functions as F
 
 # alpha_64 = 0.7213 / (1 + 1.079/64), in micro-units
 ALPHA_MICRO = {4: 673000, 5: 697000, 6: 709340}
+
+
+def cms_counters(df: DataFrame, value_col: str, d: int = 4,
+                 w: int = 256) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005): d salted
+    hash rows × w buckets. Built from per-value partial counts (ONE
+    map-side-combined shuffle of (value, count) pairs, vocabulary-sized),
+    then fanned out ×d on the counted relation — never on raw tokens —
+    and re-aggregated to (row, bucket, cnt): a d·w-row relation
+    regardless of corpus size. Returns (row, bucket, cnt)."""
+    counted = df.groupBy(F.col(value_col).alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    rows = counted.select(
+        "val", "cnt", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                               F.col("val"))), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(candidates: DataFrame, counters: DataFrame,
+                 value_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """Point-query the sketch for each candidate value: min over the d
+    row counters at that value's buckets. The counters side is d·w rows —
+    always broadcast. Returns candidates + `cms_est`; the estimate
+    overcounts, never undercounts."""
+    fan = candidates.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                               F.col(value_col))), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    keys = [c for c in candidates.columns]
+    return (
+        fan.withColumn("bucket", bucket)
+        .join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(*keys)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def exact_quantiles(df: DataFrame, key_col: str, value_col: str,
+                    pcts: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """EXACT per-key quantiles of an integer column without a global
+    sort: aggregate to a (key, value) histogram (bounded by the value
+    domain, not row count), build the cumulative distribution with a
+    per-key self-join over the broadcast histogram, then pick each
+    percentile as the smallest value whose cumulative count reaches
+    ceil(p·n/100) — the lower-bound (type-1) sample quantile. All-integer
+    ⇒ bit-exact vs SQL. Spark's percentile_approx trades accuracy for one
+    pass; this trades a bounded-histogram shuffle for exactness."""
+    hist = df.groupBy(
+        F.col(key_col).alias("key"), F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")),
+              (F.col("b.key") == F.col("a.key"))
+              & (F.col("b.v") <= F.col("a.v")))
+        .groupBy(F.col("a.key").alias("key"), F.col("a.v").alias("v"))
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    totals = hist.groupBy("key").agg(F.sum("cnt").alias("n"))
+    j = cum.join(totals, "key")
+    aggs = [F.max("n").alias("n")]
+    for p in pcts:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {p} + 99) DIV 100"),
+                    F.col("v"),
+                )
+            ).alias(f"p{p}")
+        )
+    return j.groupBy("key").agg(*aggs).select(
+        F.col("key").alias(key_col), "n",
+        *[F.col(f"p{p}") for p in pcts],
+    )
 
 
 def hll_distinct(df: DataFrame, key_col: str, value_col: str,

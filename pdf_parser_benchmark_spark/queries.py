@@ -4206,6 +4206,68 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return staged.select("doc_id", "stage").join(tiers, "doc_id", "left")
 
 
+@query(
+    "cms_topk",
+    r"""WITH ws AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM ws
+),
+vals AS (SELECT unnest(shs) AS val FROM sh),
+counted AS (SELECT val, CAST(count(*) AS BIGINT) AS cnt FROM vals
+            GROUP BY val),
+fan AS (
+  SELECT val, cnt, r.row,
+         ('0x' || substr(md5(r.row::VARCHAR || ':' || val), 1, 15))::BIGINT
+           % 256 AS bucket
+  FROM counted, (SELECT unnest(range(4)) AS row) r
+),
+counters AS (
+  SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM fan GROUP BY row, bucket
+),
+cand AS (
+  SELECT val, cnt AS exact_cnt FROM counted
+  ORDER BY cnt DESC, val LIMIT 20
+),
+est AS (
+  SELECT c.val, c.exact_cnt, min(k.cnt) AS cms_est
+  FROM cand c, (SELECT unnest(range(4)) AS row) r
+  JOIN counters k
+    ON k.row = r.row
+   AND k.bucket = ('0x' || substr(md5(r.row::VARCHAR || ':' || c.val),
+                                  1, 15))::BIGINT % 256
+  GROUP BY c.val, c.exact_cnt
+)
+SELECT val AS shingle, exact_cnt, cms_est FROM est""",
+)
+def q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    d=4 × w=256 integer counters over corpus 3-shingles, point-queried
+    for the top-20 exact heavy hitters next to their true counts
+    (operators/sketch.py). Counter relation is d·w rows regardless of
+    corpus size; candidates join it broadcast."""
+    from .operators.sketch import cms_counters, cms_estimate
+
+    vals = _t(spark, sf, "documents").select(
+        F.explode(TXT.shingles(F.col("text"), 3)).alias("val")
+    )
+    counters = cms_counters(vals, "val", d=4, w=256)
+    cand = (
+        vals.groupBy("val").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("val")).limit(20)
+    )
+    return cms_estimate(cand, counters, "val", d=4, w=256).select(
+        F.col("val").alias("shingle"), "exact_cnt", "cms_est"
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
