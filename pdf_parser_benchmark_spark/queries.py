@@ -4268,6 +4268,37 @@ def q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "exact_quantiles",
+    r"""WITH hist AS (
+  SELECT source AS key, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT a.key, a.v, CAST(sum(b.cnt) AS BIGINT) AS cum
+  FROM hist a JOIN hist b ON b.key = a.key AND b.v <= a.v
+  GROUP BY a.key, a.v
+),
+tot AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY key)
+SELECT key AS source, max(n) AS n,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+FROM cum JOIN tot USING (key) GROUP BY key""",
+)
+def q_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-source p50/p90/p99 of document length with NO global
+    sort: (key,value) histogram bounded by the value domain, broadcast
+    self-join CDF, lower-bound rank pick (operators/sketch.py:
+    exact_quantiles) — the scale-safe alternative to percentile_approx
+    when exactness is the requirement."""
+    from .operators.sketch import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf, "documents"), "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

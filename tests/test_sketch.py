@@ -26,6 +26,62 @@ def test_hll_duplicates_do_not_inflate(spark):
     assert a["reg_sum"] == b["reg_sum"] and a["hll_est"] == b["hll_est"]
 
 
+def test_cms_never_undercounts_and_bounds_error(spark):
+    from pdf_parser_benchmark_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # zipf-ish: value i appears (2000 // (i+1)) times, 200 distinct
+    rows = [(f"v{i}",) for i in range(200) for _ in range(2000 // (i + 1))]
+    df = spark.createDataFrame(rows, "val string")
+    counters = cms_counters(df, "val", d=4, w=256)
+    exact = df.groupBy("val").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(exact, counters, "val", d=4, w=256).collect()
+    n_total = len(rows)
+    for r in est:
+        assert r["cms_est"] >= r["exact_cnt"]  # CMS never undercounts
+        # standard CMS bound: err <= e*N/w with prob 1-e^-d; allow 2x
+        assert r["cms_est"] - r["exact_cnt"] <= 2 * 2.72 * n_total / 256
+    # the heavy hitter is far above the error floor → exact-ish
+    top = max(est, key=lambda r: r["exact_cnt"])
+    assert top["exact_cnt"] == 2000
+    assert top["cms_est"] - top["exact_cnt"] <= n_total // 64
+
+
+def test_cms_collision_free_is_exact(spark):
+    from pdf_parser_benchmark_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"x{i % 5}",) for i in range(50)], "val string"
+    )
+    counters = cms_counters(df, "val", d=4, w=4096)
+    exact = df.groupBy("val").agg(F.count("*").alias("exact_cnt"))
+    for r in cms_estimate(exact, counters, "val", d=4, w=4096).collect():
+        assert r["cms_est"] == r["exact_cnt"] == 10
+
+
+def test_exact_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from pdf_parser_benchmark_spark.operators.sketch import exact_quantiles
+
+    vals = [((i * 37) % 101) + (7 if i % 3 == 0 else 0) for i in range(500)]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "key string, v long"
+    )
+    row = exact_quantiles(df, "key", "v").collect()[0]
+    arr = np.sort(np.array(vals))
+    for p in (50, 90, 99):
+        # lower-bound (type-1) quantile: value at rank ceil(p*n/100)
+        rank = -(-p * len(vals) // 100)
+        assert row[f"p{p}"] == int(arr[rank - 1]), p
+    assert row["n"] == 500
+
+
 def test_hll_single_value(spark):
     df = spark.createDataFrame([("k", "only")], "key string, val string")
     row = hll_distinct(df, "key", "val").collect()[0]
