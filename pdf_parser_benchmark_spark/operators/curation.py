@@ -62,6 +62,8 @@ def unigram_surprisal_tiers(docs, text_col: str = "text",
     corpus size — via a broadcast self-join cumsum, so there is no global
     sort and no unpartitioned window at 10^12 docs.
     """
+    from .dedup import _scoped_persist
+
     toks = docs.select(
         id_col,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
@@ -74,7 +76,13 @@ def unigram_surprisal_tiers(docs, text_col: str = "text",
         (F.length(F.bin(F.expr("(n_total + vocab) DIV (cnt + 1)"))) - 1)
         .cast("long").alias("tok_bits"),
     )
-    scored = (
+    # scored is referenced by the histogram branch AND the final select;
+    # without a persist every reference re-derives the token explode +
+    # LM join (and, composed downstream of the curation funnel, the
+    # full filter-stage expression tree) — measured 10× wall blowup at
+    # 20k docs. Doc-granularity rows only; released by
+    # dedup.release_intermediates like every other scoped persist.
+    scored = _scoped_persist(
         toks.join(lm, "tok")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"),
@@ -82,7 +90,9 @@ def unigram_surprisal_tiers(docs, text_col: str = "text",
         .select(id_col, "n_tokens", "bits",
                 F.expr("(bits * 1000) DIV n_tokens").alias("score_milli"))
     )
-    hist = scored.groupBy("score_milli").agg(F.count("*").alias("cnt"))
+    hist = _scoped_persist(
+        scored.groupBy("score_milli").agg(F.count("*").alias("cnt"))
+    )
     cum = (
         hist.alias("a")
         .join(F.broadcast(hist.alias("b")),
@@ -160,6 +170,49 @@ def domain_mixture_sample(docs, weights, frac_num: int = 1,
         id_col, domain_col, "n_tokens", "priority", "cum_tokens", "budget",
         (F.col("cum_tokens") <= F.col("budget")).alias("keep"),
     )
+
+
+def curation_funnel(docs, target_lang: str = "en",
+                    min_words: int = 30, min_stop: int = 1):
+    """The composed FineWeb/RefinedWeb-shaped curation funnel: target-
+    language select → Gopher quality rules → C4 filters → leading-content
+    exact dedup (keep min id per 3-token-prefix md5) → CCNet perplexity
+    tiers over the survivors. Input: (doc_id, text, lang). Output:
+    (doc_id, stage, tier) where stage ∈ lang|gopher|c4|dup|kept and tier
+    is non-null only for kept docs. Stage predicates are in-row; the only
+    shuffles are the dedup groupBy and the tier LM."""
+    from ..functions.text import gopher_keep
+    from .dedup import _scoped_persist
+
+    gk, _ = gopher_keep(F.col("text"), min_words=min_words,
+                        min_stop=min_stop)
+    p_c4 = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))["keep"]
+    pk = F.md5(F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "))
+    # the gopher/C4 predicate trees are the expensive part; base feeds
+    # the keeper census, the stage labeling, and (through `staged`) the
+    # tier LM — persist once at doc granularity
+    base = _scoped_persist(docs.select(
+        "doc_id", "text",
+        (F.col("lang") == target_lang).alias("p_lang"),
+        gk.alias("p_gopher"), p_c4.alias("p_c4"), pk.alias("pk"),
+    ))
+    keepers = (
+        base.filter("p_lang AND p_gopher AND p_c4")
+        .groupBy("pk").agg(F.min("doc_id").alias("keep_id"))
+    )
+    staged = base.join(keepers, "pk", "left").select(
+        "doc_id", "text",
+        F.when(~F.col("p_lang"), "lang")
+         .when(~F.col("p_gopher"), "gopher")
+         .when(~F.col("p_c4"), "c4")
+         .when(F.col("doc_id") != F.col("keep_id"), "dup")
+         .otherwise("kept").alias("stage"),
+    )
+    tiers = unigram_surprisal_tiers(
+        staged.filter(F.col("stage") == "kept").select("doc_id", "text")
+    ).select("doc_id", "tier")
+    return staged.select("doc_id", "stage").join(tiers, "doc_id", "left")
 
 
 def c4_lines(doc_id: Column, text: Column,

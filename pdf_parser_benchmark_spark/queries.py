@@ -4172,38 +4172,9 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Stage predicates are all in-row; the only shuffles are the dedup
     groupBy and the tier LM — the same funnel shape a 10^12-doc curation
     run would use."""
-    from .operators.curation import (
-        c4_doc_signals,
-        c4_lines,
-        unigram_surprisal_tiers,
-    )
+    from .operators.curation import curation_funnel
 
-    docs = _t(spark, sf, "documents")
-    gk, _ = TXT.gopher_keep(F.col("text"), min_words=30, min_stop=1)
-    p_c4 = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))["keep"]
-    pk = F.md5(F.array_join(
-        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "))
-    base = docs.select(
-        "doc_id", "text",
-        (F.col("lang") == "en").alias("p_lang"),
-        gk.alias("p_gopher"), p_c4.alias("p_c4"), pk.alias("pk"),
-    )
-    keepers = (
-        base.filter("p_lang AND p_gopher AND p_c4")
-        .groupBy("pk").agg(F.min("doc_id").alias("keep_id"))
-    )
-    staged = base.join(keepers, "pk", "left").select(
-        "doc_id", "text",
-        F.when(~F.col("p_lang"), "lang")
-         .when(~F.col("p_gopher"), "gopher")
-         .when(~F.col("p_c4"), "c4")
-         .when(F.col("doc_id") != F.col("keep_id"), "dup")
-         .otherwise("kept").alias("stage"),
-    )
-    tiers = unigram_surprisal_tiers(
-        staged.filter(F.col("stage") == "kept").select("doc_id", "text")
-    ).select("doc_id", "tier")
-    return staged.select("doc_id", "stage").join(tiers, "doc_id", "left")
+    return curation_funnel(_t(spark, sf, "documents"))
 
 
 @query(
