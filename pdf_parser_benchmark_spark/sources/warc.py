@@ -110,6 +110,60 @@ def parse_warc_file(data: bytes) -> list[dict]:
     return rows
 
 
+def parse_wet_file(data: bytes) -> list[dict]:
+    """One WET file (Common Crawl's extracted-text sidecar: `conversion`
+    records with text/plain payloads) → (url, warc_ts, text) row dicts.
+    Same tolerant record walk as parse_warc_file; non-conversion records
+    (warcinfo, metadata) are skipped."""
+    if data[:2] == _GZIP_MAGIC:
+        plain = b"".join(split_gzip_members(data))
+    else:
+        plain = data
+    rows: list[dict] = []
+    for headers, payload in iter_warc_records(plain):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = None
+        rows.append({
+            "url": url, "warc_ts": ts,
+            "text": payload.decode("utf-8", errors="replace"),
+        })
+    return rows
+
+
+def read_wet_documents(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WET ingestion → (url, warc_ts, text) — the direct text
+    input for the curation/dedup/tier operators when the corpus ships as
+    Common Crawl WET instead of raw WARC. File-granular tasks, zero
+    shuffle, malformed files skipped."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            out: list[dict] = []
+            for content in b["content"]:
+                try:
+                    out.extend(parse_wet_file(bytes(content)))
+                except Exception:
+                    continue
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "text"])
+
+    return files.mapInPandas(
+        split, schema="url string, warc_ts timestamp, text string"
+    )
+
+
 def build_member_index(data: bytes) -> list[tuple[int, int]]:
     """cdx-style member index for a per-record-gzip WARC: (offset, length)
     per gzip member. Common Crawl publishes exactly this in its cdx/cluster
