@@ -4270,6 +4270,85 @@ def q_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_topk",
+    r"""WITH post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS dl
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         (sum(dl) * 1000) // count(*) AS avgdl_milli
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM post GROUP BY term
+),
+idf AS (
+  SELECT term,
+         greatest((e - 20) * 16
+                  + ((v * 16) // (1::BIGINT << e::INT)) - 16,
+                  0) AS idf_q4
+  FROM (SELECT term, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e
+        FROM (SELECT term,
+                     ((n_docs + 2) * 1048576) // (df + 1) AS v
+              FROM dfreq, tot))
+),
+qt AS (
+  SELECT (d.doc_id // 7)::BIGINT AS qid,
+         unnest((string_split_regex(lower(trim(d.text)), '\s+'))[2:5])
+           AS term
+  FROM documents d WHERE d.doc_id IN (0, 7, 14)
+),
+st AS (
+  SELECT qt.qid, post.doc_id,
+         idf_q4 * ((tf * 2200 * 1000)
+           // (tf * 1000
+               + (1200 * (250 + (750 * dl.dl * 1000) // avgdl_milli))
+                 // 1000)) AS part
+  FROM qt JOIN post USING (term) JOIN idf USING (term)
+  JOIN dl ON dl.doc_id = post.doc_id, tot
+),
+sc AS (
+  SELECT qid, doc_id, CAST(sum(part) AS BIGINT) AS score
+  FROM st GROUP BY qid, doc_id
+),
+rk AS (
+  SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id) AS INT)
+           AS rank
+  FROM sc
+)
+SELECT qid, doc_id, score, rank FROM rk WHERE rank <= 5""",
+)
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009) with integer-
+    quantized idf/tf saturation (operators/bm25.py) — inverted-index plan,
+    3 deterministic 4-term queries (tokens 2..5 of docs 0/7/14), top-5
+    per query. The lexical complement to the embedding ANN suite."""
+    from .operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id").isin(0, 7, 14)).select(
+        F.expr("doc_id DIV 7").alias("qid"),
+        F.explode(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 2, 4)
+        ).alias("term"),
+    )
+    return bm25_topk(docs, queries, "doc_id", "text", k=5)
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
