@@ -721,6 +721,49 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    digits: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): drop documents whose
+    embeddings are near-identical within a cluster. The paper clusters
+    with k-means and keeps one item per semantic-duplicate group; here
+    the cluster is the blocking column (a label, or a kmeans_fit /
+    ivf list id plugged in upstream) and the keep policy is deterministic
+    min-id-wins: a doc is DROPPED iff some smaller-id doc in its block is
+    within the cosine threshold. Returns
+    (id, block, keep, n_close_predecessors, max_predecessor_cosine).
+
+    Scale shape: the pairwise stage is the block-partitioned self-join of
+    embedding_neardup_pairs (never a global cross product); the verdict
+    is a left join of (id_b, stats) back to the corpus — only ids and two
+    scalars move."""
+    pairs = embedding_neardup_pairs(
+        df, id_col, vec_col, block_col, threshold, digits
+    )
+    close_pred = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.count("*").alias("n_close_predecessors"),
+        F.max("cosine").alias("max_predecessor_cosine"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(block_col).alias("block"))
+        .join(close_pred, "id", "left")
+        .select(
+            "id", "block",
+            F.col("n_close_predecessors").isNull().alias("keep"),
+            F.coalesce("n_close_predecessors", F.lit(0))
+            .alias("n_close_predecessors"),
+            "max_predecessor_cosine",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------

@@ -4349,6 +4349,39 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, queries, "doc_id", "text", k=5)
 
 
+@query(
+    "semdedup",
+    """WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+               AS DOUBLE), 4) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+              AS DOUBLE), 4) >= 0.3
+),
+pred AS (
+  SELECT id_b AS id, CAST(count(*) AS BIGINT) AS n_close_predecessors,
+         max(cosine) AS max_predecessor_cosine
+  FROM pairs GROUP BY id_b
+)
+SELECT e.vec_id AS id, e.label AS block,
+       p.id IS NULL AS keep,
+       coalesce(p.n_close_predecessors, 0) AS n_close_predecessors,
+       p.max_predecessor_cosine
+FROM embeddings e LEFT JOIN pred p ON p.id = e.vec_id""",
+)
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over embedding
+    clusters — min-id-wins keep decision within the blocking cluster at
+    cosine >= 0.3 (operators/dedup.py:semantic_dedup; plug a kmeans_fit
+    assignment in as the block for the paper's exact setup)."""
+    return DD.semantic_dedup(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", "label",
+        threshold=0.3, digits=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -163,6 +163,28 @@ def test_dup_spans_detect_merge_and_split(spark):
     assert not any(k[0] == 5 for k in spans)
 
 
+def test_semdedup_min_id_wins(spark):
+    from pdf_parser_benchmark_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),   # kept (no smaller close neighbor)
+        (1, [0.999, 0.01, 0.0], 1),  # near-dup of 0 → dropped
+        (2, [0.0, 1.0, 0.0], 1),   # orthogonal → kept
+        (3, [0.0, 0.99, 0.1], 1),  # near-dup of 2 → dropped
+        (4, [1.0, 0.0, 0.0], 2),   # same vec as 0, other block → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", "label", threshold=0.9).collect()}
+    assert [got[i]["keep"] for i in range(5)] == [
+        True, False, True, False, True]
+    assert got[1]["n_close_predecessors"] == 1
+    assert got[1]["max_predecessor_cosine"] >= 0.99
+    assert got[0]["max_predecessor_cosine"] is None
+
+
 def test_perplexity_tiers_ties_share_tier(spark):
     from pdf_parser_benchmark_spark.operators.curation import (
         unigram_surprisal_tiers,
