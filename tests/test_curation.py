@@ -163,6 +163,33 @@ def test_dup_spans_detect_merge_and_split(spark):
     assert not any(k[0] == 5 for k in spans)
 
 
+def test_curation_hostile_inputs_survive(spark):
+    """Unicode, control chars, huge tokens, emoji — the funnel must not
+    throw and must stay deterministic."""
+    from pdf_parser_benchmark_spark.operators.curation import (
+        curation_funnel,
+    )
+
+    hostile = [
+        (0, "éüß " * 40, "en"),          # accents
+        (1, "\U0001f600 " * 50, "en"),                   # emoji tokens
+        (2, "a" * 100000 + " b c", "en"),                # 100 kB token
+        (3, "tab\tand\nnewline mixed " * 10, "en"),     # controls
+        (4, "中文文本 " * 40, "zh"),    # CJK
+        (5, "", "en"),                                    # empty
+        (6, "   ", "en"),                                 # whitespace only
+        (7, "normal words here the and that have with " * 8, "en"),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in curation_funnel(df).collect()}
+    assert len(rows) == 8
+    assert rows[4]["stage"] == "lang"
+    assert rows[5]["stage"] in ("gopher", "c4")  # empty fails a quality gate
+    # two identical runs → identical verdicts
+    rows2 = {r["doc_id"]: r for r in curation_funnel(df).collect()}
+    assert all(rows[i]["stage"] == rows2[i]["stage"] for i in rows)
+
+
 def test_semdedup_min_id_wins(spark):
     from pdf_parser_benchmark_spark.operators.dedup import semantic_dedup
 
