@@ -181,21 +181,42 @@ def curation_funnel(docs, target_lang: str = "en",
     (doc_id, stage, tier) where stage ∈ lang|gopher|c4|dup|kept and tier
     is non-null only for kept docs. Stage predicates are in-row; the only
     shuffles are the dedup groupBy and the tier LM."""
-    from ..functions.text import gopher_keep
+    from ..functions.text import gopher_signals
     from .dedup import _scoped_persist
 
-    gk, _ = gopher_keep(F.col("text"), min_words=min_words,
-                        min_stop=min_stop)
-    p_c4 = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))["keep"]
-    pk = F.md5(F.array_join(
-        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "))
-    # the gopher/C4 predicate trees are the expensive part; base feeds
-    # the keeper census, the stage labeling, and (through `staged`) the
-    # tier LM — persist once at doc granularity
-    base = _scoped_persist(docs.select(
+    # Two-projection structure: the signal expressions (which re-split
+    # the text and run per-word lambdas) are projected ONCE, and the rule
+    # predicates read the NAMED columns. Inlining the predicates re-embeds
+    # every signal subtree (higher-order lambdas defeat Catalyst CSE) —
+    # measured 3× slower at 250k docs. CollapseProject keeps the split
+    # because the projected expressions are expensive and multiply
+    # consumed.
+    s = gopher_signals(F.col("text"))
+    sig = docs.select(
         "doc_id", "text",
         (F.col("lang") == target_lang).alias("p_lang"),
-        gk.alias("p_gopher"), p_c4.alias("p_c4"), pk.alias("pk"),
+        s["n_words"].alias("_nw"),
+        s["mean_word_len"].alias("_mwl"),
+        s["alpha_frac"].alias("_af"),
+        s["symbol_ratio"].alias("_sr"),
+        s["n_stop"].alias("_ns"),
+        c4_lines(F.col("doc_id"), F.col("text")).alias("_lines"),
+        F.md5(F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "
+        )).alias("pk"),
+    )
+    c4s = c4_doc_signals(F.col("_lines"))
+    p_gopher = (
+        (F.col("_nw") >= min_words) & (F.col("_nw") <= 100000)
+        & (F.col("_mwl") >= 3) & (F.col("_mwl") <= 10)
+        & (F.col("_sr") < 0.1) & (F.col("_af") > 0.8)
+        & (F.col("_ns") >= min_stop)
+    )
+    # the predicate columns feed the keeper census, the stage labeling,
+    # and (through `staged`) the tier LM — persist once at doc granularity
+    base = _scoped_persist(sig.select(
+        "doc_id", "text", "p_lang",
+        p_gopher.alias("p_gopher"), c4s["keep"].alias("p_c4"), "pk",
     ))
     keepers = (
         base.filter("p_lang AND p_gopher AND p_c4")

@@ -126,6 +126,50 @@ def exact_quantiles(df: DataFrame, key_col: str, value_col: str,
     )
 
 
+def _bloom_pos(i, value_col: str, m: int):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit(":"),
+                               F.col(value_col))), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(m),
+    )
+
+
+def bloom_bits(df: DataFrame, value_col: str, m: int = 16384,
+               k: int = 4) -> DataFrame:
+    """Bloom filter build (Bloom 1970): the filter as a relation of
+    DISTINCT set bit positions (≤ m rows — broadcastable by
+    construction). k salted md5 hashes per value, positions mod m."""
+    fan = df.select(
+        value_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    return fan.select(
+        _bloom_pos(F.col("i"), value_col, m).alias("pos")
+    ).distinct()
+
+
+def bloom_probe(df: DataFrame, value_col: str, bits: DataFrame,
+                m: int = 16384, k: int = 4) -> DataFrame:
+    """Membership probe: a value bloom-hits iff ALL k of its positions
+    are set. The bit relation joins broadcast; the probe side fans ×k and
+    re-aggregates — no state on the probe side. May overmatch (classic
+    Bloom false positives), never undermatches."""
+    keys = list(df.columns)
+    fan = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    ).withColumn("pos", _bloom_pos(F.col("i"), value_col, m))
+    matched = fan.join(F.broadcast(bits), "pos").groupBy(*keys).agg(
+        F.count("*").alias("n_matched")
+    )
+    return df.join(matched, keys, "left").select(
+        *keys,
+        (F.coalesce("n_matched", F.lit(0)) == k).alias("bloom_hit"),
+    )
+
+
 def hll_distinct(df: DataFrame, key_col: str, value_col: str,
                  p: int = 6) -> DataFrame:
     """Per-key HLL distinct estimate of `value_col`, plus the exact

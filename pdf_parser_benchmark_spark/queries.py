@@ -4382,6 +4382,90 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_contamination",
+    r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+           generate_series(1, len(w) - 4),
+           i -> array_to_string(w[i:i+4], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS gs
+  FROM w
+),
+e AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+bench AS (SELECT DISTINCT ng FROM e WHERE doc_id % 17 = 0),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(i.i::VARCHAR || ':' || ng), 1, 15))::BIGINT
+      % 16384 AS pos
+  FROM bench, (SELECT unnest(range(4)) AS i) i
+),
+probe AS (
+  SELECT e.doc_id, e.ng, count(*) AS n_matched
+  FROM e, (SELECT unnest(range(4)) AS i) i
+  JOIN bits
+    ON bits.pos = ('0x' || substr(md5(i.i::VARCHAR || ':' || e.ng),
+                                  1, 15))::BIGINT % 16384
+  GROUP BY e.doc_id, e.ng
+),
+hits AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (n_matched = 4) AS BIGINT) AS n_bloom_hit
+  FROM probe GROUP BY doc_id
+),
+ex AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hit
+  FROM e SEMI JOIN bench USING (ng) GROUP BY e.doc_id
+)
+SELECT g.doc_id, CAST(len(gs) AS INT) AS n_grams,
+       coalesce(h.n_bloom_hit, 0) AS n_bloom_hit,
+       coalesce(ex.n_exact_hit, 0) AS n_exact_hit,
+       (g.doc_id % 17 = 0) AS is_benchmark
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+LEFT JOIN ex ON g.doc_id = ex.doc_id""",
+)
+def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter contamination pre-filter (Bloom 1970): the at-scale
+    companion to q:contamination_check — the eval suite's 5-grams become
+    an m=16384/k=4 bit relation (broadcast), the corpus probes it; exact
+    hits shown next to bloom hits so the false-positive overhang is
+    measurable (operators/sketch.py:bloom_bits/bloom_probe). At 10^12
+    docs the filter stays ≤ m rows no matter the eval-suite size."""
+    from .operators.sketch import bloom_bits, bloom_probe
+
+    docs = _t(spark, sf, "documents")
+    gs = docs.select(
+        "doc_id",
+        F.array_distinct(TXT.word_ngrams(F.col("text"), 5)).alias("gs"),
+    )
+    e = gs.select("doc_id", F.explode("gs").alias("ng"))
+    bench = e.filter(F.col("doc_id") % 17 == 0).select("ng").distinct()
+    bits = bloom_bits(bench, "ng", m=16384, k=4)
+    probed = bloom_probe(e, "ng", bits, m=16384, k=4)
+    bloom_hits = probed.filter("bloom_hit").groupBy("doc_id").agg(
+        F.count("*").alias("n_bloom_hit")
+    )
+    exact_hits = (
+        e.join(F.broadcast(bench), "ng", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("n_exact_hit"))
+    )
+    return (
+        gs.select("doc_id", F.size("gs").alias("n_grams"))
+        .join(bloom_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_bloom_hit", F.lit(0)).alias("n_bloom_hit"),
+            F.coalesce("n_exact_hit", F.lit(0)).alias("n_exact_hit"),
+            (F.col("doc_id") % 17 == 0).alias("is_benchmark"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

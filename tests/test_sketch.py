@@ -82,6 +82,28 @@ def test_exact_quantiles_match_numpy(spark):
     assert row["n"] == 500
 
 
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    from pdf_parser_benchmark_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(500)], "val string")
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000)], "val string")
+    bits = bloom_bits(members, "val", m=16384, k=4).persist()
+    assert bits.count() <= 2000  # ≤ k·|S|, deduped
+    # every member must hit (no false negatives — the Bloom guarantee)
+    got = bloom_probe(members, "val", bits, m=16384, k=4)
+    assert got.filter("NOT bloom_hit").count() == 0
+    # non-members: fill ≈ 1-e^(-2000/16384) ≈ 0.115 → FPR ≈ 0.115^4 ≈ 2e-4
+    fp = bloom_probe(others, "val", bits, m=16384, k=4) \
+        .filter("bloom_hit").count()
+    assert fp <= 10  # 2000 probes at ~2e-4 expected ≈ 0.4; 10 = hard cap
+    bits.unpersist()
+
+
 def test_hll_single_value(spark):
     df = spark.createDataFrame([("k", "only")], "key string, val string")
     row = hll_distinct(df, "key", "val").collect()[0]
