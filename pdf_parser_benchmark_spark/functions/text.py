@@ -125,6 +125,15 @@ def gopher_signals(col: Column) -> dict[str, Column]:
     on both engines so boundary rounding can never flip a flag."""
     words = F.split(F.trim(col), r"\s+")
     lwords = F.split(F.lower(F.trim(col)), r"\s+")
+    return gopher_signals_from(words, lwords, col)
+
+
+def gopher_signals_from(words: Column, lwords: Column,
+                        col: Column) -> dict[str, Column]:
+    """gopher_signals over pre-split token arrays — callers that already
+    project `words`/`lwords` (e.g. the curation funnel's staged
+    projections) avoid re-tokenizing per signal and keep each generated
+    codegen unit small."""
     n_words = F.size(words)
     total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     mean_wl = total_len / F.greatest(n_words, F.lit(1))

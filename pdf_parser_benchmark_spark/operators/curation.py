@@ -77,18 +77,20 @@ def unigram_surprisal_tiers(docs, text_col: str = "text",
         .cast("long").alias("tok_bits"),
     )
     # scored is referenced by the histogram branch AND the final select;
-    # without a persist every reference re-derives the token explode +
-    # LM join (and, composed downstream of the curation funnel, the
-    # full filter-stage expression tree) — measured 10× wall blowup at
-    # 20k docs. Doc-granularity rows only; released by
-    # dedup.release_intermediates like every other scoped persist.
-    scored = _scoped_persist(
+    # without materialization every reference re-derives the token
+    # explode + LM join (and, composed downstream of the curation funnel,
+    # the full filter-stage expression tree) — measured 10× wall blowup
+    # at 20k docs. localCheckpoint (row blocks, lineage truncated), not
+    # persist — the columnar cache builder is the slow path (see
+    # curation_funnel). Doc-granularity rows only.
+    scored = (
         toks.join(lm, "tok")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"),
              F.sum("tok_bits").alias("bits"))
         .select(id_col, "n_tokens", "bits",
                 F.expr("(bits * 1000) DIV n_tokens").alias("score_milli"))
+        .localCheckpoint(eager=False)
     )
     hist = _scoped_persist(
         scored.groupBy("score_milli").agg(F.count("*").alias("cnt"))
@@ -181,29 +183,34 @@ def curation_funnel(docs, target_lang: str = "en",
     (doc_id, stage, tier) where stage ∈ lang|gopher|c4|dup|kept and tier
     is non-null only for kept docs. Stage predicates are in-row; the only
     shuffles are the dedup groupBy and the tier LM."""
-    from ..functions.text import gopher_signals
+    from ..functions.text import gopher_signals_from
     from .dedup import _scoped_persist
 
-    # Two-projection structure: the signal expressions (which re-split
-    # the text and run per-word lambdas) are projected ONCE, and the rule
-    # predicates read the NAMED columns. Inlining the predicates re-embeds
-    # every signal subtree (higher-order lambdas defeat Catalyst CSE) —
-    # measured 3× slower at 250k docs. CollapseProject keeps the split
-    # because the projected expressions are expensive and multiply
-    # consumed.
-    s = gopher_signals(F.col("text"))
-    sig = docs.select(
+    # Staged-projection structure, for two measured reasons (250k-doc
+    # probes, BENCH/BASELINE.md):
+    # 1. expression sharing — inlining the predicates re-embeds every
+    #    signal subtree (higher-order lambdas defeat Catalyst CSE),
+    #    3× slower; the split arrays and signals are each projected ONCE;
+    # 2. codegen unit size — one mega-projection generates a class large
+    #    enough that HotSpot JIT compilation itself dominates fresh-JVM
+    #    runs (126 s cold vs 12.6 s warm at 32 cores). Several moderate
+    #    projections compile quickly and run stably.
+    toks = docs.select(
         "doc_id", "text",
         (F.col("lang") == target_lang).alias("p_lang"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_w"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_lw"),
+    )
+    s = gopher_signals_from(F.col("_w"), F.col("_lw"), F.col("text"))
+    sig = toks.select(
+        "doc_id", "text", "p_lang",
         s["n_words"].alias("_nw"),
         s["mean_word_len"].alias("_mwl"),
         s["alpha_frac"].alias("_af"),
         s["symbol_ratio"].alias("_sr"),
         s["n_stop"].alias("_ns"),
-        c4_lines(F.col("doc_id"), F.col("text")).alias("_lines"),
-        F.md5(F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "
-        )).alias("pk"),
+        c4_lines_from(F.col("doc_id"), F.col("_w")).alias("_lines"),
+        F.md5(F.array_join(F.slice(F.col("_w"), 1, 3), " ")).alias("pk"),
     )
     c4s = c4_doc_signals(F.col("_lines"))
     p_gopher = (
@@ -212,12 +219,20 @@ def curation_funnel(docs, target_lang: str = "en",
         & (F.col("_sr") < 0.1) & (F.col("_af") > 0.8)
         & (F.col("_ns") >= min_stop)
     )
-    # the predicate columns feed the keeper census, the stage labeling,
-    # and (through `staged`) the tier LM — persist once at doc granularity
-    base = _scoped_persist(sig.select(
+    # The predicate columns feed the keeper census, the stage labeling,
+    # and (through `staged`) the tier LM — materialize once at doc
+    # granularity. localCheckpoint, NOT persist(): the in-memory COLUMNAR
+    # cache builder is pathological on this wide text frame (measured
+    # 110 s vs 5.7 s at 250k docs / 32 cores — row-block storage skips
+    # the columnar build+compress entirely), and it also truncates the
+    # lineage so downstream branches reuse blocks, like the CC/pagerank
+    # rounds. Lazy (eager=False) keeps the returned plan unevaluated.
+    # Cluster caveat (same as dedup CC): localCheckpoint blocks don't
+    # survive executor loss; a reliable checkpoint dir restores that.
+    base = sig.select(
         "doc_id", "text", "p_lang",
         p_gopher.alias("p_gopher"), c4s["keep"].alias("p_c4"), "pk",
-    ))
+    ).localCheckpoint(eager=False)
     keepers = (
         base.filter("p_lang AND p_gopher AND p_c4")
         .groupBy("pk").agg(F.min("doc_id").alias("keep_id"))
@@ -236,20 +251,9 @@ def curation_funnel(docs, target_lang: str = "en",
     return staged.select("doc_id", "stage").join(tiers, "doc_id", "left")
 
 
-def c4_lines(doc_id: Column, text: Column,
-             wpl: int = WORDS_PER_LINE) -> Column:
-    """Deterministic line view of a flat token stream: chunks of `wpl`
-    words, with punctuation and C4 trigger phrases scheduled by
-    (doc_id, line_no) arithmetic so both engines build identical lines.
-
-    Schedule (all mutually exclusive by line index):
-      line 0 of doc_id%31==0  += " lorem ipsum"   (page-kill phrase)
-      line 2 of doc_id%29==0  += " {x}"           (curly-bracket page kill)
-      line 1 of doc_id%7==0   += " javascript"    (line kill)
-      line 3 of doc_id%23==0  += " cookie policy" (policy-line kill)
-      terminal '.' on every line where (doc_id + i) % 4 != 3
-    """
-    words = F.split(F.trim(text), r"\s+")
+def c4_lines_from(doc_id: Column, words: Column,
+                  wpl: int = WORDS_PER_LINE) -> Column:
+    """c4_lines over a pre-split token array (see c4_lines)."""
     n_lines = F.greatest(
         F.floor((F.size(words) + wpl - 1) / F.lit(wpl)).cast("int"), F.lit(1)
     )
@@ -269,6 +273,22 @@ def c4_lines(doc_id: Column, text: Column,
         )
 
     return F.transform(F.sequence(F.lit(0), n_lines - 1), build)
+
+
+def c4_lines(doc_id: Column, text: Column,
+             wpl: int = WORDS_PER_LINE) -> Column:
+    """Deterministic line view of a flat token stream: chunks of `wpl`
+    words, with punctuation and C4 trigger phrases scheduled by
+    (doc_id, line_no) arithmetic so both engines build identical lines.
+
+    Schedule (all mutually exclusive by line index):
+      line 0 of doc_id%31==0  += " lorem ipsum"   (page-kill phrase)
+      line 2 of doc_id%29==0  += " {x}"           (curly-bracket page kill)
+      line 1 of doc_id%7==0   += " javascript"    (line kill)
+      line 3 of doc_id%23==0  += " cookie policy" (policy-line kill)
+      terminal '.' on every line where (doc_id + i) % 4 != 3
+    """
+    return c4_lines_from(doc_id, F.split(F.trim(text), r"\s+"), wpl)
 
 
 def c4_line_kept(line: Column) -> Column:

@@ -32,17 +32,26 @@ from pyspark.sql import functions as F
 
 spark = get_spark(cpus={cpus},
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+from pdf_parser_benchmark_spark.operators.dedup import release_intermediates
+
 path = c1m.ensure_corpus(spark)
 docs = spark.read.parquet(path)
 docs.count()
-t0 = time.monotonic()
-out = curation_funnel(docs)
-stages = sorted(
-    (r["stage"], r["cnt"])
-    for r in out.groupBy("stage").agg(F.count("*").alias("cnt")).collect()
-)
-wall = time.monotonic() - t0
-print("RESULT " + json.dumps({{"wall": wall, "stages": stages}}))
+walls = []
+stages = None
+for _ in range(2):  # run 1 = cold (JIT-dominated), run 2 = warm
+    t0 = time.monotonic()
+    out = curation_funnel(docs)
+    stages = sorted(
+        (r["stage"], r["cnt"])
+        for r in out.groupBy("stage").agg(
+            F.count("*").alias("cnt")).collect()
+    )
+    walls.append(time.monotonic() - t0)
+    release_intermediates()
+    spark.catalog.clearCache()
+print("RESULT " + json.dumps(
+    {{"wall": walls[0], "wall_warm": walls[1], "stages": stages}}))
 """
 
 
@@ -71,14 +80,19 @@ def main() -> int:
     assert lo["stages"] == hi["stages"], (
         "stage fingerprints differ across parallelism levels!"
     )
-    dps_lo = N / lo["wall"]
-    dps_hi = N / hi["wall"]
+    ratio = n_high / n_low
     out = {
         "n_docs": N,
         "cores": [n_low, n_high],
-        "wall_sec": [round(lo["wall"], 1), round(hi["wall"], 1)],
-        "docs_per_sec": [round(dps_lo, 1), round(dps_hi, 1)],
-        "scaling_efficiency": round(dps_hi / (dps_lo * n_high / n_low), 3),
+        "wall_sec_cold": [round(lo["wall"], 1), round(hi["wall"], 1)],
+        "wall_sec_warm": [round(lo["wall_warm"], 1),
+                          round(hi["wall_warm"], 1)],
+        "docs_per_sec_warm": [round(N / lo["wall_warm"], 1),
+                              round(N / hi["wall_warm"], 1)],
+        "scaling_efficiency_cold": round(
+            (N / hi["wall"]) / ((N / lo["wall"]) * ratio), 3),
+        "scaling_efficiency_warm": round(
+            (N / hi["wall_warm"]) / ((N / lo["wall_warm"]) * ratio), 3),
         "stage_fingerprint_identical": True,
         "stages": dict(lo["stages"]),
     }
