@@ -403,3 +403,53 @@ def test_stream_ingest_writes_manifest_and_matches_batch(spark, pages_dir, tmp_p
     assert read_completed_splits(spark, man, n_splits=16).count() == 0
     stream_rows = read_completed_splits(spark, man, n_splits=-16)
     assert {r["split_id"] for r in stream_rows.collect()} == written
+
+
+def test_stream_curation_filters_match_batch(spark, sf_dir, tmp_path):
+    """The stateless curation stages (C4 + Gopher predicates) run
+    identically on a stream: same expressions, per-row, no state. The
+    tier stage needs corpus-global LM counts and stays batch (or
+    foreachBatch) by design."""
+    from pdf_parser_benchmark_spark.functions.text import gopher_keep
+    from pdf_parser_benchmark_spark.operators.curation import (
+        c4_doc_signals,
+        c4_lines,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    batch = spark.read.parquet(docs_path)
+    schema = batch.schema
+
+    def verdicts(df):
+        gk, _ = gopher_keep(F.col("text"), min_words=30, min_stop=1)
+        s = c4_doc_signals(c4_lines(F.col("doc_id"), F.col("text")))
+        return df.select(
+            "doc_id", gk.alias("p_gopher"), s["keep"].alias("p_c4"),
+            s["fail_reason"].alias("c4_reason"),
+        )
+
+    # the sf tables are single parquet FILES; the streaming file source
+    # wants a directory, so stream the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        verdicts(stream)
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["p_gopher"], r["p_c4"], r["c4_reason"])
+        for r in spark.sql("SELECT * FROM curation_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["p_gopher"], r["p_c4"], r["c4_reason"])
+        for r in verdicts(batch).collect()
+    }
+    assert got == want and len(got) == batch.count()
