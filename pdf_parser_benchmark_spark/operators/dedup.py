@@ -142,6 +142,91 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     ).select("id", "span_start", "span_end", "n_windows")
 
 
+def strip_dup_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """The ExactSubstr CUT step (Lee et al. 2021): remove every duplicated
+    k-token span from every document EXCEPT its globally-first occurrence
+    (min (id, pos) per window hash — the paper keeps one occurrence).
+    Removable windows are merged into maximal spans per doc (same islands
+    rule as duplicate_spans); a span that overlaps a kept window still
+    goes — the keeper occurrence lives in the min-id doc, not here.
+
+    Returns (id, n_tokens_before, n_tokens_after, n_spans_removed,
+    clean_text). Conservation: before − after = Σ merged span lengths.
+
+    Scale shape: the dup census and keeper election shuffle (hash) and
+    (hash, id, pos) — never bodies; the rebuild is an in-row indexed
+    array filter against the doc's own merged-span list (bounded by
+    doc length)."""
+    words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    win_hashes = F.when(
+        F.size(words_expr) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_expr) - k),
+            lambda i: F.md5(
+                F.array_join(F.slice(words_expr, i + 1, F.lit(k)), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_hashes).alias("wpos", "whash"),
+    )
+    wins = _scoped_persist(wins)
+    dup = wins.groupBy("whash").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("id", "wpos")).alias("keeper"),
+    ).filter(F.col("n") > 1).select("whash", "keeper")
+    removable = (
+        wins.join(dup, "whash")
+        .filter(
+            (F.col("id") != F.col("keeper.id"))
+            | (F.col("wpos") != F.col("keeper.wpos"))
+        )
+        .select("id", "wpos")
+    )
+
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("id").orderBy("wpos")
+    flagged = removable.withColumn(
+        "new_span",
+        F.when(
+            F.col("wpos") - F.lag("wpos").over(order) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = flagged.groupBy("id", "span_id").agg(
+        F.min("wpos").cast("long").alias("s"),
+        (F.max("wpos") + k - 1).cast("long").alias("e"),
+    ).groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    base = df.select(F.col(id_col).alias("id"),
+                     words_expr.alias("words"))
+    joined = base.join(spans, "id", "left").withColumn(
+        "spans", F.coalesce("spans", F.array().cast(
+            "array<struct<s:long,e:long>>"))
+    )
+    kept_words = F.filter(
+        F.col("words"),
+        lambda w, i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("words").alias("n_tokens_before"),
+        F.size(kept_words).alias("n_tokens_after"),
+        F.size("spans").alias("n_spans_removed"),
+        F.array_join(kept_words, " ").alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide exact paragraph dedup (Lee et al. 2021, "Deduplicating
 # Training Data Makes Language Models Better" — the ExactSubstr idea at

@@ -4466,6 +4466,77 @@ def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "strip_dup_spans",
+    r"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, words, unnest(range(len(words) - 4)) AS wpos
+  FROM w WHERE len(words) >= 5
+),
+wins AS (
+  SELECT doc_id, wpos,
+         md5(array_to_string(words[wpos+1 : wpos+5], ' ')) AS whash
+  FROM wins0
+),
+dup AS (
+  SELECT whash, min(doc_id * 1000000 + wpos) AS keeper_key
+  FROM wins GROUP BY whash HAVING count(*) > 1
+),
+rem AS (
+  SELECT doc_id, wpos
+  FROM wins JOIN dup USING (whash)
+  WHERE doc_id * 1000000 + wpos <> keeper_key
+),
+surv AS (
+  SELECT doc_id, wpos,
+         CASE WHEN wpos - lag(wpos) OVER (PARTITION BY doc_id
+                                          ORDER BY wpos) <= 5
+              THEN 0 ELSE 1 END AS new_span
+  FROM rem
+),
+isl AS (
+  SELECT doc_id, wpos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM surv
+),
+spans AS (
+  SELECT doc_id,
+         list(ARRAY[s, e]) AS spans
+  FROM (SELECT doc_id, span_id, CAST(min(wpos) AS BIGINT) AS s,
+               CAST(max(wpos) + 4 AS BIGINT) AS e
+        FROM isl GROUP BY doc_id, span_id)
+  GROUP BY doc_id
+),
+final AS (
+  SELECT w.doc_id, w.words, coalesce(sp.spans, []) AS spans
+  FROM w LEFT JOIN spans sp ON w.doc_id = sp.doc_id
+)
+SELECT doc_id AS id,
+       CAST(len(words) AS INT) AS n_tokens_before,
+       CAST(len(list_filter(words, (x, i) ->
+         len(list_filter(spans, s -> i - 1 >= s[1] AND i - 1 <= s[2])) = 0
+       )) AS INT) AS n_tokens_after,
+       CAST(len(spans) AS INT) AS n_spans_removed,
+       coalesce(array_to_string(list_filter(words, (x, i) ->
+         len(list_filter(spans, s -> i - 1 >= s[1] AND i - 1 <= s[2])) = 0
+       ), ' '), '') AS clean_text
+FROM final""",
+)
+def q_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr cut step (Lee et al. 2021): remove every duplicated
+    5-token span except its globally-first occurrence (min (id,pos) per
+    window hash), spans merged per doc, text rebuilt by in-row indexed
+    filter (operators/dedup.py:strip_dup_spans). Completes q:dup_spans
+    (the inventory) with the removal itself."""
+    return DD.strip_dup_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

@@ -190,6 +190,35 @@ def test_curation_hostile_inputs_survive(spark):
     assert all(rows[i]["stage"] == rows2[i]["stage"] for i in rows)
 
 
+def test_strip_dup_spans_keeper_and_conservation(spark):
+    from pdf_parser_benchmark_spark.operators.dedup import strip_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r s t a1 a2 a3 a4 a5"),   # keeper of "p q r s t"
+            (1, "b1 b2 p q r s t b3 b4 b5"),   # later occurrence → cut
+            (2, "p q r s t c1 c2 p q r s t"),  # two occurrences, both cut
+            (3, "d1 d2 d3 d4 d5 d6 d7 d8"),    # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r.asDict()
+           for r in strip_dup_spans(docs, "doc_id", "text", k=5).collect()}
+    # doc 0 holds the globally-first occurrence → untouched
+    assert got[0]["n_tokens_after"] == 10 and got[0]["n_spans_removed"] == 0
+    # doc 1 loses exactly the 5-token phrase
+    assert got[1]["n_tokens_after"] == 5
+    assert got[1]["clean_text"] == "b1 b2 b3 b4 b5"
+    # doc 2 loses both occurrences (neither is the keeper)
+    assert got[2]["n_tokens_after"] == 2
+    assert got[2]["clean_text"] == "c1 c2"
+    # untouched doc round-trips byte-identically
+    assert got[3]["clean_text"] == "d1 d2 d3 d4 d5 d6 d7 d8"
+    # conservation: tokens removed == sum of merged span lengths
+    for r in got.values():
+        assert r["n_tokens_before"] >= r["n_tokens_after"]
+
+
 def test_semdedup_min_id_wins(spark):
     from pdf_parser_benchmark_spark.operators.dedup import semantic_dedup
 
