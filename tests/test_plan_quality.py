@@ -187,3 +187,40 @@ def test_ivfpq_probed_list_filter_prunes_partitions(spark, tmp_path):
     assert "cid" in pf  # probe reaches the scan as a partition filter
     # and the file index actually pruned: only the probed lists are read
     assert probed.select("cid").distinct().count() <= 2
+
+
+def test_dup_spans_survivor_join_is_semi(spark, sf_dir):
+    """dup_spans' survivor restriction must be a LEFT SEMI join (window
+    rows checked against the dup census, never widened) and its census
+    aggregate must have a map-side partial phase."""
+    plan = _plan(QUERIES["dup_spans"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan  # map-side combine on the census
+
+
+def test_bm25_postings_aggregates_partially(spark, sf_dir):
+    """The BM25 postings/df builds must partially aggregate map-side —
+    the inverted index is the only corpus-sized relation, and its shuffle
+    volume must be the combined (doc,term) partials, not raw tokens."""
+    plan = _plan(QUERIES["bm25_topk"](spark, sf_dir))
+    assert "partial_count" in plan
+    # the per-query top-k window stays partitioned by qid
+    assert "row_number" in plan and "qid" in plan
+
+
+def test_hll_register_shuffle_is_bounded(spark, sf_dir):
+    """HLL's only per-key state is (key, bucket) registers: the plan must
+    show partial_max on rho before the exchange (m rows per key max)."""
+    plan = _plan(QUERIES["hll_distinct"](spark, sf_dir))
+    assert "partial_max" in plan
+
+
+def test_perplexity_tiers_no_global_sort(spark, sf_dir):
+    """Tier thresholds come from the bounded score histogram, never a
+    corpus-wide sort: no global (non-partitioned) Sort/Window over the
+    doc stream."""
+    import re
+
+    plan = _plan(QUERIES["perplexity_tiers"](spark, sf_dir))
+    assert not re.search(r"^\(\d+\) Window", plan, re.M)
+    assert "rangepartitioning" not in plan  # the global-sort signature
