@@ -4537,6 +4537,48 @@ def q_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "priority_sample",
+    """WITH pri AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         (CAST(n_chars AS BIGINT) * 1099511627776)
+           // greatest(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       // 1048576, 1) AS q
+  FROM documents
+),
+top21 AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 21),
+tau AS (SELECT min(q) AS tau FROM top21)
+SELECT doc_id, source, w, q,
+       CAST(greatest(w, tau) AS BIGINT) AS est_w
+FROM (SELECT * FROM top21 ORDER BY q DESC, doc_id LIMIT 20), tau""",
+)
+def q_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007), integer-
+    quantized: priority q = w/u with u from the md5 hash bridge
+    (q = (w·2^40) div (h div 2^20), all BIGINT), keep the top-k=20 by
+    (q, doc_id), per-item weight estimate max(w, τ) with τ = the
+    (k+1)-th priority — Σ est_w is the unbiased total-weight estimator.
+    Scale shape: TakeOrderedAndProject (per-partition heaps + driver
+    merge of k+1 rows) — NO global sort, NO unpartitioned window."""
+    docs = _t(spark, sf, "documents")
+    pri = docs.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("w"),
+        F.expr(
+            "(CAST(n_chars AS BIGINT) * 1099511627776) DIV greatest("
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) DIV 1048576, 1)"
+        ).alias("q"),
+    )
+    top21 = pri.orderBy(F.desc("q"), F.asc("doc_id")).limit(21)
+    tau = top21.agg(F.min("q").alias("tau"))
+    sample = top21.orderBy(F.desc("q"), F.asc("doc_id")).limit(20)
+    return sample.crossJoin(F.broadcast(tau)).select(
+        "doc_id", "source", "w", "q",
+        F.greatest(F.col("w"), F.col("tau")).cast("long").alias("est_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle

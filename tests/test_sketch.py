@@ -104,6 +104,34 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
     bits.unpersist()
 
 
+def test_priority_sample_estimator_unbiasedness(spark):
+    """Σ max(w_i, τ) over the sample estimates the TOTAL corpus weight
+    (Duffield et al. 2007). With k=20 over 5000 zipf-ish weights the
+    estimator is noisy but must land in the right decade; also the
+    sample must be exactly the top-k by priority and deterministic."""
+    from pdf_parser_benchmark_spark.queries import QUERIES
+
+    import duckdb
+    import os
+    import tempfile
+
+    rows = [(i, "s", 10 + (i * 37) % 500) for i in range(5000)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        ).withColumn("text", F.lit("x")).withColumn("lang", F.lit("en")) \
+         .coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = QUERIES["priority_sample"](spark, d).collect()
+        out2 = QUERIES["priority_sample"](spark, d).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in out2]
+    assert len(out) == 20
+    total = sum(w for _, _, w in rows)
+    est = sum(r["est_w"] for r in out)
+    assert total / 3 < est < total * 3  # k=20 → decade-level accuracy
+    # every sampled row's estimate is >= its true weight (max(w, tau))
+    assert all(r["est_w"] >= r["w"] for r in out)
+
+
 def test_hll_single_value(spark):
     df = spark.createDataFrame([("k", "only")], "key string, val string")
     row = hll_distinct(df, "key", "val").collect()[0]
