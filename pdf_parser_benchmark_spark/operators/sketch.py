@@ -66,7 +66,10 @@ def cms_estimate(candidates: DataFrame, counters: DataFrame,
     """Point-query the sketch for each candidate value: min over the d
     row counters at that value's buckets. The counters side is d·w rows —
     always broadcast. Returns candidates + `cms_est`; the estimate
-    overcounts, never undercounts."""
+    overcounts, never undercounts. The counter relation is SPARSE (only
+    touched buckets have rows), so a probe whose buckets include an
+    untouched one has true min 0 — candidates with fewer than d matched
+    rows estimate 0 instead of being dropped by the join."""
     fan = candidates.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
     )
@@ -79,11 +82,17 @@ def cms_estimate(candidates: DataFrame, counters: DataFrame,
         F.lit(w),
     )
     keys = [c for c in candidates.columns]
-    return (
+    matched = (
         fan.withColumn("bucket", bucket)
         .join(F.broadcast(counters), ["row", "bucket"])
         .groupBy(*keys)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min("cnt").alias("min_cnt"),
+             F.count("*").alias("n_rows"))
+    )
+    return candidates.join(matched, keys, "left").select(
+        *keys,
+        F.when(F.col("n_rows") == d, F.col("min_cnt"))
+         .otherwise(F.lit(0)).cast("long").alias("cms_est"),
     )
 
 

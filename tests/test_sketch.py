@@ -49,6 +49,26 @@ def test_cms_never_undercounts_and_bounds_error(spark):
     assert top["cms_est"] - top["exact_cnt"] <= n_total // 64
 
 
+def test_cms_absent_value_estimates_zero_or_collision(spark):
+    from pdf_parser_benchmark_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    corpus = spark.createDataFrame([("in0",), ("in1",)], "val string")
+    counters = cms_counters(corpus, "val", d=4, w=4096)
+    probes = spark.createDataFrame(
+        [("in0",), ("never-seen-1",), ("never-seen-2",)], "val string")
+    got = {r["val"]: r["cms_est"]
+           for r in cms_estimate(probes, counters, "val",
+                                 d=4, w=4096).collect()}
+    assert len(got) == 3          # absent probes are NOT dropped
+    assert got["in0"] == 1
+    # with 8 touched buckets of 4096, an absent probe's 4 buckets are
+    # almost surely not all touched → estimate 0
+    assert got["never-seen-1"] == 0 and got["never-seen-2"] == 0
+
+
 def test_cms_collision_free_is_exact(spark):
     from pdf_parser_benchmark_spark.operators.sketch import (
         cms_counters,
