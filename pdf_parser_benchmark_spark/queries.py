@@ -4579,6 +4579,91 @@ def q_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "edu_score",
+    r"""WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS words,
+         string_split_regex(lower(trim(text)), '\s+') AS lwords
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(list_filter(['the','be','to','of','and','that','have',
+                               'with'],
+                              x -> list_contains(lwords, x))) AS BIGINT)
+           AS n_stop,
+         CAST((list_sum(list_transform(words, x -> len(x))) * 1000)
+              // greatest(len(words), 1) AS BIGINT) AS mwl_milli,
+         CAST((len(list_distinct(lwords)) * 1000)
+              // greatest(len(words), 1) AS BIGINT) AS ttr_milli
+  FROM w
+),
+s AS (
+  SELECT doc_id, n_words, n_stop, mwl_milli, ttr_milli,
+         2 * least(n_words, 200) + 150 * n_stop
+           + (ttr_milli * 2) // 3 - abs(mwl_milli - 5000) // 10
+           AS score_milli
+  FROM f
+)
+SELECT doc_id, n_words, n_stop, mwl_milli, ttr_milli, score_milli,
+       CAST(least(greatest((score_milli - 400) // 50, 0), 5) AS BIGINT)
+         AS edu_tier
+FROM s""",
+)
+def q_edu_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-inference stage (the FineWeb-Edu shape: score each doc
+    0-5 for educational quality): a PINNED integer linear model over
+    deterministic document features (length saturation, stop-word count,
+    type-token ratio, mean-word-length centering) — the rule-based
+    stand-in this engine uses for learned scorers, same policy as SURVEY
+    F4 (LLM filter → rule-based column ops). All-integer, in-row,
+    zero-shuffle; swap the weights for a trained model's without touching
+    the plan."""
+    docs = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lwords = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nw = F.size(words).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have",
+                       "with")]),
+            lambda s: F.array_contains(lwords, s),
+        )
+    ).cast("long")
+    mwl_milli = F.expr(
+        "CAST((aggregate(split(trim(text), '\\\\s+'), 0L,"
+        " (a, x) -> a + length(x)) * 1000)"
+        " DIV greatest(size(split(trim(text), '\\\\s+')), 1) AS BIGINT)"
+    )
+    ttr_milli = (
+        (F.size(F.array_distinct(lwords)).cast("long") * 1000) /
+        F.greatest(nw, F.lit(1))
+    ).cast("long")  # integer division: both engines floor on positives
+    feats = docs.select(
+        "doc_id", nw.alias("n_words"), n_stop.alias("n_stop"),
+        mwl_milli.alias("mwl_milli"),
+        F.expr("CAST((size(array_distinct(split(lower(trim(text)),"
+               " '\\\\s+'))) * 1000) DIV greatest(size(split(trim(text),"
+               " '\\\\s+')), 1) AS BIGINT)").alias("ttr_milli"),
+    )
+    score = F.expr(
+        "2 * least(n_words, 200) + 150 * n_stop"
+        " + (ttr_milli * 2) DIV 3 - abs(mwl_milli - 5000) DIV 10"
+    )
+    return feats.select(
+        "doc_id", "n_words", "n_stop", "mwl_milli", "ttr_milli",
+        score.alias("score_milli"),
+        F.expr(
+            "CAST(least(greatest(((2 * least(n_words, 200) + 150 * n_stop"
+            " + (ttr_milli * 2) DIV 3 - abs(mwl_milli - 5000) DIV 10)"
+            " - 400) DIV 50, 0), 5) AS BIGINT)"
+        ).alias("edu_tier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned expected-output oracles (generated by tools/gen_pinned.py) for the
 # queries with no ANSI-SQL twin — registered last so a hand-written oracle
