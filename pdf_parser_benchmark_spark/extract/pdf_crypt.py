@@ -30,10 +30,50 @@ def _padded(pwd: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# optional fast primitives: AES/RC4 are fixed public algorithms, so when the
+# `cryptography` wheel (OpenSSL-backed) is importable the byte-identical fast
+# path is used — the from-scratch implementations below stay the reference
+# (and the fallback when the wheel is absent), pinned equal by
+# tests/test_pdf_encrypt.py. Same import-guard pattern as the PIL/ffmpeg
+# boundaries in multimodal/binary_ops.py. R6's Algorithm 2.B KDF encrypts
+# thousands of CBC blocks per password check, which made AES-256 R6 documents
+# ~60× slower to open than plain ones on the pure-Python block function.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - exercised whenever the wheel is installed
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+    from cryptography.hazmat.primitives.ciphers.algorithms import AES as _AES
+    from cryptography.hazmat.primitives.ciphers.modes import CBC as _CBC
+
+    try:  # ≥43 moved RC4 under hazmat.decrepit
+        from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    except ImportError:  # pragma: no cover
+        from cryptography.hazmat.primitives.ciphers.algorithms import (  # type: ignore
+            ARC4 as _ARC4,
+        )
+
+    _HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover
+    _HAVE_CRYPTOGRAPHY = False
+
+# ARC4() validates key bit-lengths; PDF derives 5..16-byte keys, so odd sizes
+# (e.g. 6-byte /Length 48) must stay on the from-scratch path
+_ARC4_KEY_SIZES = frozenset({5, 7, 8, 10, 16, 20, 24, 32})
+_AES_KEY_SIZES = frozenset({16, 24, 32})
+
+
+# ---------------------------------------------------------------------------
 # RC4
 # ---------------------------------------------------------------------------
 
 def rc4(key: bytes, data: bytes) -> bytes:
+    if _HAVE_CRYPTOGRAPHY and len(key) in _ARC4_KEY_SIZES:
+        enc = _Cipher(_ARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
+    return _rc4_pure(key, data)
+
+
+def _rc4_pure(key: bytes, data: bytes) -> bytes:
     S = list(range(256))
     j = 0
     for i in range(256):
@@ -209,6 +249,15 @@ def _enc_block_words(rkw: list[list[int]], w0: int, w1: int, w2: int, w3: int):
 
 
 def _cbc_encrypt_words(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Chained CBC encrypt (no padding). OpenSSL when available, else the
+    32-bit-word T-table block function."""
+    if _HAVE_CRYPTOGRAPHY and len(key) in _AES_KEY_SIZES:
+        enc = _Cipher(_AES(key), _CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
+    return _cbc_encrypt_words_pure(key, data, iv)
+
+
+def _cbc_encrypt_words_pure(key: bytes, data: bytes, iv: bytes) -> bytes:
     """Chained CBC encrypt in 32-bit words, T-table block function."""
     import struct
 
@@ -255,14 +304,26 @@ def _np_tables():
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """iv-prefixed ciphertext → plaintext with PKCS#7 padding stripped.
-
-    CBC DECRYPTION is block-parallel (p_i = D(c_i) ⊕ c_{i−1}) — the block
-    function runs vectorized over ALL blocks with numpy table lookups, then
-    one shifted XOR applies the chaining. ~10× the scalar loop; encryption
-    stays scalar (CBC chaining is inherently sequential, and the writer
-    only runs at fixture-generation time)."""
+    OpenSSL-backed when `cryptography` is importable, else the vectorized
+    numpy fallback below."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload")
+    if _HAVE_CRYPTOGRAPHY and len(key) in _AES_KEY_SIZES:
+        dec = _Cipher(_AES(key), _CBC(data[:16])).decryptor()
+        out = dec.update(data[16:]) + dec.finalize()
+        padlen = out[-1]
+        if not 1 <= padlen <= 16:
+            raise ValueError("bad PKCS#7 padding")
+        return out[:-padlen]
+    return _aes_cbc_decrypt_pure(key, data)
+
+
+def _aes_cbc_decrypt_pure(key: bytes, data: bytes) -> bytes:
+    """From-scratch decrypt: CBC decryption is block-parallel
+    (p_i = D(c_i) ⊕ c_{i−1}) — the block function runs vectorized over ALL
+    blocks with numpy table lookups, then one shifted XOR applies the
+    chaining. ~10× the scalar loop; encryption stays scalar (CBC chaining
+    is inherently sequential)."""
     np, inv_sbox, gmul, perm = _np_tables()
     rk = _key_expansion(key)
     rounds = len(rk) - 1
@@ -302,6 +363,13 @@ def _cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
 
 def _cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
     assert len(data) % 16 == 0
+    if _HAVE_CRYPTOGRAPHY and len(key) in _AES_KEY_SIZES:
+        dec = _Cipher(_AES(key), _CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
+    return _cbc_decrypt_nopad_pure(key, data, iv)
+
+
+def _cbc_decrypt_nopad_pure(key: bytes, data: bytes, iv: bytes) -> bytes:
     rk = _key_expansion(key)
     out = bytearray()
     prev = iv

@@ -62,6 +62,27 @@ def test_rc4_public_vector():
     assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
 
 
+def test_fast_crypto_matches_pure():
+    """r7: the OpenSSL-backed fast path (used when `cryptography` is
+    importable) must be byte-identical to the from-scratch reference
+    implementations on every PDF-relevant key size, including the odd RC4
+    key lengths that stay on the pure path."""
+    data = bytes(range(256)) * 3
+    for klen in (5, 6, 7, 10, 12, 16):
+        key = bytes(range(1, klen + 1))
+        assert pc.rc4(key, data) == pc._rc4_pure(key, data)
+    iv = b"\x11" * 16
+    for key in (b"k" * 16, b"k" * 32):
+        blocks = data[:240]
+        assert pc._cbc_encrypt_words(key, blocks, iv) == \
+            pc._cbc_encrypt_words_pure(key, blocks, iv)
+        ct = pc.aes_cbc_encrypt(key, data[:100], iv)
+        assert pc.aes_cbc_decrypt(key, ct) == pc._aes_cbc_decrypt_pure(key, ct)
+        nopad = pc._cbc_encrypt_words_pure(key, blocks, iv)
+        assert pc._cbc_decrypt_nopad(key, nopad, iv) == \
+            pc._cbc_decrypt_nopad_pure(key, nopad, iv)
+
+
 def test_aes_cbc_roundtrip_all_lengths():
     key = b"0123456789abcdef"
     for n in (0, 1, 15, 16, 17, 100):
