@@ -39,6 +39,23 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
+def cosine_rounded_prenormed(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, digits: int = 6
+) -> Column:
+    """cosine_rounded with the two norms already computed (r7 optimization:
+    attach `norm()` per SIDE before the pair join so each vector's norm fold
+    runs once per row instead of once per pair — the interpreted
+    higher-order-function fold is ~2/3 of the per-pair cosine cost).
+
+    Bit-identical to cosine_rounded by construction: norm() on the same
+    array yields the same double wherever it is evaluated, the denominator
+    is the same product, the dot fold and the rounding are unchanged."""
+    denom = norm_a * norm_b
+    return F.round(
+        F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0)), digits
+    )
+
+
 def jaccard_words(a: Column, b: Column) -> Column:
     """Word-set Jaccard over two string columns (built-ins only)."""
     wa = F.array_distinct(F.split(F.lower(F.trim(a)), r"\s+"))

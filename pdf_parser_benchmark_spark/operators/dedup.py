@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import shingles
-from ..functions.similarity import jaccard_arrays, cosine_rounded
+from ..functions import similarity as S
+from ..functions.similarity import jaccard_arrays
 
 
 # ---------------------------------------------------------------------------
@@ -745,12 +746,15 @@ def embedding_neardup_rh(
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # norm per vector, not per candidate pair (bit-identical, r7)
+        S.norm(F.col(vec_col)).alias("vn"),
         rh_signature(F.col(vec_col), planes).alias("sig"),
     )
     sig = _scoped_persist(sig)  # both self-join sides read it
     banded = sig.select(
         "id",
         "v",
+        "vn",
         F.explode(
             F.array(
                 *[
@@ -766,14 +770,19 @@ def embedding_neardup_rh(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bucket")
+    ).select("id", "v", "vn", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         # round ONCE at the output precision: re-rounding a 6-digit value to
         # 4 digits double-rounds (0.31234992 → 0.312350 → 0.3124 ≠ 0.3123)
-        .withColumn("cosine", cosine_rounded(F.col("a.v"), F.col("b.v"), digits))
+        .withColumn(
+            "cosine",
+            S.cosine_rounded_prenormed(
+                F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), digits
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .distinct()
@@ -795,12 +804,18 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        S.norm(F.col(vec_col)).alias("vn"),
     )
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, "blk")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine_rounded(F.col("a.v"), F.col("b.v"), digits))
+        .withColumn(
+            "cosine",
+            S.cosine_rounded_prenormed(
+                F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn"), digits
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )

@@ -55,12 +55,16 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    edges = edges.select("src", "dst").distinct().persist()
-    nodes = (
+    # persists are registered with dedup's release_intermediates() scope
+    # (ADVICE r6): repeated invocations in one session (bench warm lanes,
+    # notebooks) otherwise accumulate executor storage nothing reclaims
+    from .dedup import _scoped_persist
+
+    edges = _scoped_persist(edges.select("src", "dst").distinct())
+    nodes = _scoped_persist(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
     n = nodes.count()  # bounded driver scalar (node count), loop-invariant
     if n == 0:

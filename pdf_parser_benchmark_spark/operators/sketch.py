@@ -86,8 +86,11 @@ def cms_estimate(candidates: DataFrame, counters: DataFrame,
         fan.withColumn("bucket", bucket)
         .join(F.broadcast(counters), ["row", "bucket"])
         .groupBy(*keys)
+        # count DISTINCT rows (ADVICE r6): duplicate candidate rows would
+        # otherwise inflate a plain count to d·multiplicity and flip a
+        # genuinely present value to cms_est 0 (an undercount)
         .agg(F.min("cnt").alias("min_cnt"),
-             F.count("*").alias("n_rows"))
+             F.count_distinct(F.col("row")).alias("n_rows"))
     )
     return candidates.join(matched, keys, "left").select(
         *keys,

@@ -4638,10 +4638,8 @@ def q_edu_score(spark: SparkSession, sf: str) -> DataFrame:
         " (a, x) -> a + length(x)) * 1000)"
         " DIV greatest(size(split(trim(text), '\\\\s+')), 1) AS BIGINT)"
     )
-    ttr_milli = (
-        (F.size(F.array_distinct(lwords)).cast("long") * 1000) /
-        F.greatest(nw, F.lit(1))
-    ).cast("long")  # integer division: both engines floor on positives
+    # (dead ttr_milli variable deleted, VERDICT r6 item 3: the live
+    # definition is the integer-DIV F.expr below)
     feats = docs.select(
         "doc_id", nw.alias("n_words"), n_stop.alias("n_stop"),
         mwl_milli.alias("mwl_milli"),

@@ -69,6 +69,26 @@ def test_cms_absent_value_estimates_zero_or_collision(spark):
     assert got["never-seen-1"] == 0 and got["never-seen-2"] == 0
 
 
+def test_cms_duplicate_candidate_rows_still_present(spark):
+    """ADVICE r6: duplicate candidate rows must not defeat the
+    all-d-rows-matched presence test (count_distinct on the row index,
+    not a plain count)."""
+    from pdf_parser_benchmark_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    corpus = spark.createDataFrame([("hot",)] * 7 + [("cold",)], "val string")
+    counters = cms_counters(corpus, "val", d=4, w=4096)
+    probes = spark.createDataFrame(
+        [("hot",), ("hot",), ("hot",), ("cold",)], "val string")
+    rows = cms_estimate(probes, counters, "val", d=4, w=4096).collect()
+    assert len(rows) == 4  # duplicates survive the join
+    for r in rows:
+        truth = 7 if r["val"] == "hot" else 1
+        assert r["cms_est"] >= truth  # present values never estimate 0
+
+
 def test_cms_collision_free_is_exact(spark):
     from pdf_parser_benchmark_spark.operators.sketch import (
         cms_counters,
