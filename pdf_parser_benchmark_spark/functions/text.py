@@ -378,15 +378,30 @@ def lang_id3(col: Column) -> Column:
 
 def word_ngrams(col: Column, k: int) -> Column:
     """Word k-gram array WITH duplicates (the unit for repetition signals).
-    Built-ins only: split → transform over index range → slice+join; texts
-    shorter than k words degrade to a single whole-text gram."""
+    Built-ins only; texts shorter than k words degrade to a single
+    whole-text gram.
+
+    Construction (r7): zip k length-aligned shifted slices of the word
+    array with string concat, instead of a transform over an index range
+    doing slice+array_join per gram — the per-gram k-element array
+    allocation was the hot spot (3× at 50k docs), and the gram strings are
+    identical (join-with-space of words i..i+k-1 either way)."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
+    return _sliding_join(words, k)
+
+
+def _sliding_join(words: Column, k: int) -> Column:
+    """All length-(n-k+1) windows of `words` joined with single spaces;
+    whole-text fallback below k words."""
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
-    )
-    return F.when(n >= k, grams).otherwise(F.array(F.array_join(words, " ")))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(words, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(
+            g, F.slice(words, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, g).otherwise(F.array(F.array_join(words, " ")))
 
 
 def shingles(col: Column, k: int = 3) -> Column:

@@ -80,6 +80,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _window_hashes(text_col: Column, k: int) -> Column:
+    """md5 of every overlapping k-token window of `text_col` (split on
+    whitespace, original case), [] below k tokens. Windows are built by
+    zipping k shifted slices with string concat (r7 — same gram strings as
+    the former per-index slice+array_join, ~3× cheaper; see
+    functions.text._sliding_join), then hashed in one transform."""
+    words = F.split(F.trim(text_col), r"\s+")
+    n = F.size(words)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(words, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(
+            g, F.slice(words, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.transform(g, F.md5)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     k: int = 5) -> DataFrame:
     """ExactSubstr duplicate-span inventory (Lee et al. 2021 §4.1): find
@@ -100,16 +120,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     census, one semi-join shuffle of (hash, id, pos) triples (bodies
     never move), then a doc-partitioned window for the merge.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    win_hashes = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.md5(
-                F.array_join(F.slice(words, i + 1, F.lit(k)), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    win_hashes = _window_hashes(F.col(text_col), k)
     wins = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(win_hashes).alias("wpos", "whash"),
@@ -160,15 +171,7 @@ def strip_dup_spans(df: DataFrame, id_col: str, text_col: str,
     array filter against the doc's own merged-span list (bounded by
     doc length)."""
     words_expr = F.split(F.trim(F.col(text_col)), r"\s+")
-    win_hashes = F.when(
-        F.size(words_expr) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words_expr) - k),
-            lambda i: F.md5(
-                F.array_join(F.slice(words_expr, i + 1, F.lit(k)), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    win_hashes = _window_hashes(F.col(text_col), k)
     wins = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(win_hashes).alias("wpos", "whash"),
@@ -371,11 +374,18 @@ def _spread(df: DataFrame, key: str = "id") -> DataFrame:
     return df
 
 
-def shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3) -> DataFrame:
+def shingled(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3,
+             spread: bool = True) -> DataFrame:
     """→ (id, sh array<string>): the distinct word-shingle set per doc.
     The spread happens BEFORE the shingle projection so the CPU-heavy
-    expression work lands on all cores, not on the single input split."""
-    slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    expression work lands on all cores, not on the single input split.
+    Pass spread=False when the input is already post-shuffle (e.g. a join
+    output): the partition probe (`df.rdd`) materializes every AQE query
+    stage below it — a whole extra hidden job — and the repartition would
+    re-shuffle rows AQE already distributed (r7 finding)."""
+    slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    if spread:
+        slim = _spread(slim)
     return slim.select("id", shingles(F.col("t"), shingle_k).alias("sh"))
 
 
@@ -534,7 +544,8 @@ def minhash_dedup_pairs(
     # feed both sides of the verify join. AQE broadcasts cand_ids when small.
     raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     needed = _scoped_persist(
-        shingled(raw.join(cand_ids, "id", "left_semi"), "id", "t", shingle_k)
+        shingled(raw.join(cand_ids, "id", "left_semi"), "id", "t", shingle_k,
+                 spread=False)
     )
     return (
         cands.join(
