@@ -36,8 +36,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Lazy-plan memo for the testdata tables (r7): every `spark.read.parquet`
+# costs ~80 ms of driver-side work (path resolution, file listing, footer
+# schema inference, py4j round trips) and the bench invokes each query
+# several times — metadata setup was 0.1–0.25 s of every invocation. The
+# cached object is an UNEVALUATED DataFrame (a logical plan + file index):
+# no rows, no results — every action still computes from the parquet
+# files (the guide's §6 file-listing-cache point, applied at the reader
+# level). Keyed on (application, path, mtime_ns, size) so a rewritten
+# table gets a fresh plan.
+_TABLE_PLANS: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(p)
+    except OSError:
+        return spark.read.parquet(p)
+    key = (spark.sparkContext.applicationId, p, st.st_mtime_ns, st.st_size)
+    df = _TABLE_PLANS.get(key)
+    if df is None:
+        df = spark.read.parquet(p)
+        _TABLE_PLANS[key] = df
+    return df
+
+
+def _parquet_disk_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a testdata table (file or directory-style parquet) —
+    the scan-level statistic used for scale-adaptive plan choices when the
+    planner's own estimate can't see through a join. Returns a huge
+    sentinel when the path isn't local/statable, so size-gated broadcast
+    hints silently stay OFF."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 60
 
 
 def query(name: str, oracle: str | None = None):
@@ -2988,14 +3033,42 @@ GROUP BY o.o_orderkey
 ORDER BY revenue DESC, orderkey LIMIT 10""",
 )
 def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → join chain → agg → top-k."""
+    """TPC-H Q3 shape: selective dim filter → join chain → agg → top-k.
+
+    Join order (r7), gated on the orders SCAN size (the same scan-level
+    statistic auto-broadcast uses; both orders produce identical results
+    by inner-join associativity):
+
+    - orders under the broadcast threshold → the planner's own shape,
+      lineitem ⋈ broadcast(orders) ⋈ broadcast(customer): one pass over
+      lineitem, no shuffle before the aggregation, both broadcasts built
+      concurrently.
+    - orders past the threshold (bench sf1.0: 37 MB, and any cluster
+      scale) → apply the selective BUILDING filter to orders FIRST, so
+      the fact table joins a ~1/5-of-orders key projection instead of
+      all orders. The old shape sort-merge-shuffled every lineitem row
+      here; with the reduced side, AQE's runtime size check converts the
+      join back to broadcast when the key set fits (sf1.0, measured
+      1.5 s → 1.0 s interleaved) and otherwise degrades to a sort-merge
+      join against the REDUCED side — strictly fewer shuffled bytes than
+      the old shape at any scale."""
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     dec = lambda col: F.col(col).cast("decimal(18,2)")
+    bthresh = 10 << 20  # spark.sql.autoBroadcastJoinThreshold default
+    if _parquet_disk_bytes(sf, "orders") <= bthresh:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+            F.broadcast(c), o.o_custkey == c.c_custkey
+        )
+    else:
+        building_orders = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("o_orderkey")
+        )
+        joined = l.join(building_orders, l.l_orderkey == F.col("o_orderkey"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        joined
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(
             F.round(
