@@ -6,12 +6,18 @@ chunks in document order, a header with level None/≤1 sets current_chapter
 and CLEARS current_section; a deeper header sets current_section; every
 chunk (headers included) carries the current values.
 
-Spark shape: ordered window per document —
-  chapter = last(chapter_marker, ignorenulls) over (doc, ≤current)
-  epoch   = running count of chapter markers (the reset boundary)
-  section = last(section_marker, ignorenulls) over (doc+epoch, ≤current)
-One shuffle on doc (both windows share the partitioning; the second window
-key (doc, epoch) is a refinement, so Catalyst reuses the sort).
+Spark shape (r7): ONE window pass per document —
+  chapter      = last(chapter_marker, ignorenulls) over (doc, ≤current)
+  last_section = last((seq, text) of section markers)  over the same window
+  last_chap_seq= last(seq of chapter markers)          over the same window
+  section      = last_section.text iff it arrived AFTER the last chapter
+The seq comparison replaces the former second window keyed on
+(doc, chapter_epoch): "section set in the current epoch" ≡ "the latest
+section marker's seq is greater than the latest chapter marker's seq"
+(markers are mutually exclusive and `seq` is the window order, assumed
+unique per doc as in the reference loop). Dropping the second window
+removes a full extra Sort + Window pass over every chunk (the exchange
+was already shared; the sort on the refined key was not).
 """
 
 from __future__ import annotations
@@ -38,17 +44,24 @@ def propagate_hierarchy(
         .orderBy(seq_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = chunks.withColumn(
+    last_section = F.last(
+        F.when(
+            is_section,
+            F.struct(F.col(seq_col).alias("s"), F.col(text_col).alias("t")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    last_chap_seq = F.last(
+        F.when(is_chapter, F.col(seq_col)), ignorenulls=True
+    ).over(w)
+    return chunks.withColumn(
         "chapter",
         F.last(F.when(is_chapter, F.col(text_col)), ignorenulls=True).over(w),
-    ).withColumn("chapter_epoch", F.sum(is_chapter.cast("int")).over(w))
-
-    w2 = (
-        Window.partitionBy(doc_col, "chapter_epoch")
-        .orderBy(seq_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return out.withColumn(
+    ).withColumn(
         "section",
-        F.last(F.when(is_section, F.col(text_col)), ignorenulls=True).over(w2),
-    ).drop("chapter_epoch")
+        F.when(
+            last_section.isNotNull()
+            & (last_chap_seq.isNull() | (last_section["s"] > last_chap_seq)),
+            last_section["t"],
+        ),
+    )
