@@ -3043,15 +3043,19 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
       lineitem ⋈ broadcast(orders) ⋈ broadcast(customer): one pass over
       lineitem, no shuffle before the aggregation, both broadcasts built
       concurrently.
-    - orders past the threshold (bench sf1.0: 37 MB, and any cluster
-      scale) → apply the selective BUILDING filter to orders FIRST, so
-      the fact table joins a ~1/5-of-orders key projection instead of
-      all orders. The old shape sort-merge-shuffled every lineitem row
-      here; with the reduced side, AQE's runtime size check converts the
-      join back to broadcast when the key set fits (sf1.0, measured
-      1.5 s → 1.0 s interleaved) and otherwise degrades to a sort-merge
-      join against the REDUCED side — strictly fewer shuffled bytes than
-      the old shape at any scale."""
+    - orders past the threshold (bench sf1.0-scale: ~26-37 MB, and any
+      cluster scale) → apply the selective BUILDING filter to orders
+      FIRST, so the fact table joins a ~1/5-of-orders key projection
+      instead of all orders. In that regime the old shape either builds
+      and probes a full-orders hashed relation (the column-pruned scan
+      estimate can still sneak under the threshold — measured: a 1.5M-row
+      broadcast build) or falls to a sort-merge shuffle of every lineitem
+      row; with the reduced side, AQE's runtime size check converts the
+      join back to broadcast over ~1/5 the rows (10x-scale measured
+      1.4-1.5 s → 1.1-1.3 s interleaved, plans/r07/tpch_q3_topk_sf1_*)
+      and otherwise degrades to a sort-merge join against the REDUCED
+      side — strictly fewer rows moved than the old shape at any
+      scale."""
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
