@@ -52,32 +52,47 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
-        m = _WS_RE.match(self.data, self.pos)
-        if m:
-            self.pos = m.end()
+        # manual scan fast path (r7): the common case is zero or one space
+        # between tokens — two int compares beat a regex-engine call; the
+        # regex handles the rare comment ('%') runs exactly as before
+        d = self.data
+        p = self.pos
+        n = len(d)
+        while p < n:
+            c = d[p]
+            if c == 32 or c == 10 or c == 13 or c == 9 or c == 0 or c == 12:
+                p += 1
+            elif c == 37:  # '%' comment — defer to the regex for the run
+                m = _WS_RE.match(d, p)
+                p = m.end()
+            else:
+                break
+        self.pos = p
 
     def parse_object(self):
         self._skip_ws()
         d = self.data
         p = self.pos
-        c = d[p : p + 1]
-        if c == b"<":
+        # int dispatch on the first byte (r7): avoids per-token byte-slice
+        # allocations on the hottest call in the parser
+        c = d[p] if p < len(d) else -1
+        if c == 0x3C:  # '<'
             if d[p : p + 2] == b"<<":
                 return self._parse_dict()
             return self._parse_hex_string()
-        if c == b"(":
+        if c == 0x28:  # '('
             return self._parse_string()
-        if c == b"[":
+        if c == 0x5B:  # '['
             return self._parse_array()
-        if c == b"/":
+        if c == 0x2F:  # '/'
             return self._parse_name()
-        if d[p : p + 4] == b"true":
+        if c == 0x74 and d[p : p + 4] == b"true":
             self.pos += 4
             return True
-        if d[p : p + 5] == b"false":
+        if c == 0x66 and d[p : p + 5] == b"false":
             self.pos += 5
             return False
-        if d[p : p + 4] == b"null":
+        if c == 0x6E and d[p : p + 4] == b"null":
             self.pos += 4
             return None
         m = _NUM_RE.match(d, p)
