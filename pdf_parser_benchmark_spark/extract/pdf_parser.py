@@ -1183,6 +1183,9 @@ def _tokenize_content(data: bytes):
         yield m.group()
 
 
+_OPERAND_FIRST = frozenset(b"(</+-.0123456789")
+
+
 def interpret_content(
     data: bytes,
     fonts: dict[str, Font],
@@ -1224,7 +1227,8 @@ def interpret_content(
         items.append(TextSpanItem(cx, cy, txt, size))
 
     in_array: list | None = None
-    for tok in _tokenize_content(data):
+    for m in _CS_TOKEN.finditer(data):  # inlined tokenizer (r7)
+        tok = m.group()
         if tok == b"[":
             in_array = []
             continue
@@ -1232,8 +1236,9 @@ def interpret_content(
             stack.append(in_array or [])
             in_array = None
             continue
-        c0 = tok[:1]
-        is_operand = c0 in b"(</" or c0 in b"+-." or c0.isdigit()
+        # int first-byte dispatch (r7): same class test as
+        # c0 in b"(</" or c0 in b"+-." or c0.isdigit(), no per-token slices
+        is_operand = tok[0] in _OPERAND_FIRST
         if is_operand:
             val = decode_tok(tok)
             if in_array is not None:

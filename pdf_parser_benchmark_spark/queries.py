@@ -1078,12 +1078,16 @@ def q_rag_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = emb.filter((F.col("vec_id") > 0) & F.col("label").isin(1, 2, 4))
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "score", F.round(cosine_rounded(F.col("qvec"), F.col("embedding"), 9), 4)
+    # the 9-digit cosine is projected ONCE and reused by both the score
+    # and the ranking order (r7): higher-order-function expressions defeat
+    # Catalyst subexpression elimination, so the inline twin evaluated the
+    # fold twice per row
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("c9", cosine_rounded(F.col("qvec"), F.col("embedding"), 9))
+        .withColumn("score", F.round(F.col("c9"), 4))
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(cosine_rounded(F.col("qvec"), F.col("embedding"), 9)), F.asc("vec_id")
-    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c9"), F.asc("vec_id"))
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
