@@ -142,10 +142,13 @@ def gopher_signals_from(words: Column, lwords: Column,
     n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
     n_ellipsis = F.size(F.regexp_extract_all(col, F.lit(r"\.\.\.|…"), 0))
     symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    # count of distinct stop words present: array_intersect's single
+    # hash-build pass replaces the per-stop linear scan of lwords (r7 —
+    # same count: the stop list is distinct, so |stops ∩ lwords| counts
+    # exactly the stops that appear; measured 0.44 → 0.21 s at 50k docs)
     n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-            lambda s: F.array_contains(lwords, s),
+        F.array_intersect(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]), lwords
         )
     )
     return {

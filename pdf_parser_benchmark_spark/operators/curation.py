@@ -304,7 +304,11 @@ def c4_line_kept(line: Column) -> Column:
 
 def c4_doc_signals(lines: Column) -> dict[str, Column]:
     """C4 document-level signals over a line array: kept-line view, the
-    page-kill flags, the keep decision, and the first failed rule."""
+    page-kill flags, the keep decision, and the first failed rule.
+    (r7 note: a struct-of-(line, lower(line)) rewrite that shares the
+    lowercase across the three rules measured a wash interleaved — the
+    per-line struct materialization cancels the saved lower() calls — so
+    the simpler shape stays.)"""
     kept = F.filter(lines, c4_line_kept)
     has_lorem = F.exists(
         lines, lambda x: F.contains(F.lower(x), F.lit("lorem ipsum")))
