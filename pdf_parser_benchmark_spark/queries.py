@@ -4706,12 +4706,15 @@ def q_edu_score(spark: SparkSession, sf: str) -> DataFrame:
     words = F.split(F.trim(F.col("text")), r"\s+")
     lwords = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     nw = F.size(words).cast("long")
+    # |stops ∩ lwords| = distinct stops present (stop list is distinct) —
+    # one hash-build pass instead of a per-stop linear scan (r7, same as
+    # gopher_signals_from)
     n_stop = F.size(
-        F.filter(
+        F.array_intersect(
             F.array(*[F.lit(s) for s in
                       ("the", "be", "to", "of", "and", "that", "have",
                        "with")]),
-            lambda s: F.array_contains(lwords, s),
+            lwords,
         )
     ).cast("long")
     mwl_milli = F.expr(
