@@ -899,9 +899,19 @@ def ivfpq_fit(
     probed search prunes whole partitions."""
     import numpy as np
 
+    from .dedup import _scoped_persist
+
     vecs = corpus.select(id_col, vec_col)
-    assignment = kmeans_fit(
-        vecs, id_col, vec_col, k=n_lists, iterations=coarse_iterations
+    # persist the assignment and the residual stream (r7): pq_fit makes
+    # ~pq_iterations+2 passes over `residuals`, and without
+    # materialization EVERY pass re-executed the full upstream chain —
+    # coarse-assignment mapInPandas over the corpus, the list join, and
+    # the residual mapInPandas (measured: ivfpq_train ≈ 4-5× pq_train for
+    # the same iteration count). Registered with release_intermediates()
+    # like every other multi-branch intermediate.
+    assignment = _scoped_persist(
+        kmeans_fit(vecs, id_col, vec_col, k=n_lists,
+                   iterations=coarse_iterations)
     )
     coarse = kmeans_fit.last_centroids
     Cc = np.asarray([v for _, v in coarse], dtype=np.float32)
@@ -921,8 +931,10 @@ def ivfpq_fit(
             yield _pd.DataFrame(data)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    residuals = listed.mapInPandas(
-        resid_gen, f"{id_col} {id_type}, cid int, __resid array<float>"
+    residuals = _scoped_persist(
+        listed.mapInPandas(
+            resid_gen, f"{id_col} {id_type}, cid int, __resid array<float>"
+        )
     )
     cb, enc = pq_fit(
         residuals, id_col, "__resid", m=m, dim=dim, k=codes,
