@@ -167,6 +167,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 4,
     iterations: int = 4,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means, fully vectorized (r5): each iteration
     is ONE numpy mapInPandas pass over the corpus — per Arrow batch the
@@ -186,6 +187,10 @@ def kmeans_fit(
 
     Returns the assignment DataFrame (id, cid) — centroids are in
     `kmeans_fit.last_centroids` after the call (list of (cid, [floats])).
+    keep_vec=True returns (id, cid, vec) instead — the vector column rides
+    the assignment pass as an untouched Arrow passthrough, so callers that
+    need (vector, list id) pairs (IVF search, residual encoding) skip a
+    full corpus⋈assignment shuffle join (r7).
     """
     import numpy as np
 
@@ -251,13 +256,21 @@ def kmeans_fit(
             if not len(b):
                 continue
             vecs = _np.stack(b["__v"].to_numpy()).astype(_np.float32)
-            yield _pd.DataFrame(
-                {
-                    "__id": b["__id"],
-                    "cid": _np_nearest(vecs, Cfinal).astype(_np.int32),
-                }
-            )
+            out = {
+                "__id": b["__id"],
+                "cid": _np_nearest(vecs, Cfinal).astype(_np.int32),
+            }
+            if keep_vec:
+                # passthrough of the ORIGINAL arrays (no computation) —
+                # Arrow round-trips the float32 values bit-identically
+                out["__v"] = b["__v"]
+            yield _pd.DataFrame(out)
 
+    if keep_vec:
+        vec_type = corpus.schema[vec_col].dataType.simpleString()
+        return vecs_df.mapInPandas(
+            assign_gen, f"__id {id_type}, cid int, __v {vec_type}"
+        ).select(F.col("__id").alias(id_col), "cid", F.col("__v").alias(vec_col))
     return vecs_df.mapInPandas(assign_gen, f"__id {id_type}, cid int").select(
         F.col("__id").alias(id_col), "cid"
     )
@@ -278,12 +291,13 @@ def ivf_topk_kmeans(
     """IVF with a k-means coarse quantizer: fit lists, probe the nprobe
     nearest centroids per query, exact-search only the probed lists."""
     spark = corpus.sparkSession
-    assignment = kmeans_fit(corpus, corpus_id, corpus_vec, k=n_lists,
-                            iterations=iterations)
+    # keep_vec: the vectors ride the assignment pass, replacing the former
+    # corpus⋈assignment shuffle join (identical values — Arrow passthrough)
+    listed = kmeans_fit(corpus, corpus_id, corpus_vec, k=n_lists,
+                        iterations=iterations, keep_vec=True)
     cents = spark.createDataFrame(
         kmeans_fit.last_centroids, "cid int, centroid array<float>"
     )
-    listed = corpus.join(assignment, corpus_id)
     q2c = queries.crossJoin(F.broadcast(cents)).withColumn(
         "d2", F.round(l2_sq(F.col(query_vec), F.col("centroid")), 9)
     )
@@ -902,23 +916,16 @@ def ivfpq_fit(
     from .dedup import _scoped_persist
 
     vecs = corpus.select(id_col, vec_col)
-    # persist the assignment and the residual stream (r7): pq_fit makes
-    # ~pq_iterations+2 passes over `residuals`, and without
-    # materialization EVERY pass re-executed the full upstream chain —
-    # coarse-assignment mapInPandas over the corpus, the list join, and
-    # the residual mapInPandas (measured: ivfpq_train ≈ 4-5× pq_train for
-    # the same iteration count). Registered with release_intermediates()
-    # like every other multi-branch intermediate.
-    assignment = _scoped_persist(
-        kmeans_fit(vecs, id_col, vec_col, k=n_lists,
-                   iterations=coarse_iterations)
-    )
+    # run the coarse Lloyd iterations; the returned lazy assignment frame
+    # is deliberately unused — the fused pass below recomputes the final
+    # assignment (same _np_nearest on the same centroids, deterministic)
+    # together with the residuals in ONE corpus pass, replacing the former
+    # assign pass + corpus⋈assignment join + residual pass (r7).
+    kmeans_fit(vecs, id_col, vec_col, k=n_lists, iterations=coarse_iterations)
     coarse = kmeans_fit.last_centroids
     Cc = np.asarray([v for _, v in coarse], dtype=np.float32)
 
-    listed = vecs.join(assignment, id_col)
-
-    def resid_gen(batches):
+    def assign_resid_gen(batches):
         import numpy as _np
         import pandas as _pd
 
@@ -926,14 +933,23 @@ def ivfpq_fit(
             if not len(b):
                 continue
             V = _np.stack(b[vec_col].to_numpy()).astype(_np.float32)
-            R = V - Cc[b["cid"].to_numpy()]  # float32 residuals
-            data = {id_col: b[id_col], "cid": b["cid"], "__resid": list(R)}
-            yield _pd.DataFrame(data)
+            cid = _np_nearest(V, Cc)
+            R = V - Cc[cid]  # float32 residuals
+            yield _pd.DataFrame({
+                id_col: b[id_col],
+                "cid": cid.astype(_np.int32),
+                "__resid": list(R),
+            })
 
     id_type = corpus.schema[id_col].dataType.simpleString()
+    # persisted: pq_fit makes ~pq_iterations+2 passes over `residuals`,
+    # and without materialization EVERY pass would re-execute the fused
+    # assignment+residual pass (measured: ivfpq_train ≈ 4-5× pq_train for
+    # the same iteration count before r7). Registered with
+    # release_intermediates() like every other multi-branch intermediate.
     residuals = _scoped_persist(
-        listed.mapInPandas(
-            resid_gen, f"{id_col} {id_type}, cid int, __resid array<float>"
+        vecs.mapInPandas(
+            assign_resid_gen, f"{id_col} {id_type}, cid int, __resid array<float>"
         )
     )
     cb, enc = pq_fit(
@@ -942,7 +958,7 @@ def ivfpq_fit(
     )
     enc_listed = enc.join(
         F.broadcast(
-            assignment.select(
+            residuals.select(
                 F.col(id_col).cast("long").alias("pqid"), "cid"
             )
         ),
