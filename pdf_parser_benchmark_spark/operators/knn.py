@@ -50,17 +50,186 @@ def brute_force_topk(
     query_vec: str = "qvec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_queries: int = 4096,
 ) -> DataFrame:
-    # norms attached per SIDE before the pair join (once per vector, not
-    # once per pair) — bit-identical, see cosine_rounded_prenormed
-    pairs = corpus.withColumn("__cn", norm(F.col(corpus_vec))).crossJoin(
-        F.broadcast(queries.withColumn("__qn", norm(F.col(query_vec))))
-    )
-    scored = pairs.withColumn(
-        "score",
-        cosine_rounded_prenormed(
-            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
-        ),
+    """Exact k-NN: numpy-scored corpus pass (r7) + exact top-k window.
+
+    The former shape materialized |Q|·|corpus| joined pair rows (two full
+    vectors each) through a broadcast nested-loop join only to fold a dot
+    product per pair — ~1 GB of array copying for 20×100k pairs. Now the
+    query vectors (a bounded driver collect, `max_queries`-guarded like
+    ivfpq's query side) ship in the task closure and ONE mapInPandas pass
+    over the corpus emits narrow (qid, id, raw_score) rows; the rounding
+    stays in the JVM (`F.round`) and the top-k window is unchanged.
+
+    Value-exactness vs the expression path is by operation-for-operation
+    replication, not approximation (`_np_cosine_raw`): float32 products
+    widened to float64 and accumulated in element order (= the
+    `aggregate(zip_with(...))` fold), IEEE sqrt/divide, Spark's
+    NaN-comparison and null/length-mismatch semantics in the scalar
+    fallback — pinned by tests/test_operators_spark.py::
+    test_brute_force_numpy_matches_expression_path over nulls, NaN, zero,
+    mismatched-dim and empty vectors, and by the unchanged pinned
+    oracles/parity gate."""
+    qrows = queries.select(query_id, query_vec).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: {len(qrows)} query rows exceed "
+            f"max_queries={max_queries}; raise the limit explicitly for "
+            "bigger batches (the query side is collected to the driver)"
+        )
+    elem = corpus.schema[corpus_vec].dataType.elementType.simpleString()
+    is_f32 = elem == "float"
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    Q = [
+        (r[0], None if r[1] is None else list(r[1]))
+        for r in qrows
+    ]
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        f32 = _np.float32
+        qprep = []  # (qid, qlist, qarr, qnorm)
+        for q_id, q in Q:
+            if q is None:
+                qprep.append((q_id, None, None, None))
+                continue
+            acc = 0.0
+            if is_f32:
+                qa = _np.asarray(q, dtype=_np.float32)
+                for x in qa:
+                    acc += float(x * x)
+            else:
+                qa = _np.asarray(q, dtype=_np.float64)
+                for x in q:
+                    acc += x * x
+            qprep.append((q_id, q, qa, float(_np.sqrt(acc))))
+
+        def cn_of(v):
+            # norm fold: acc(double) + v*v (element dtype), element order
+            acc = 0.0
+            if is_f32:
+                for x in _np.asarray(v, dtype=_np.float32):
+                    acc += float(x * x)
+            else:
+                for x in v:
+                    acc += x * x
+            return float(_np.sqrt(acc))
+
+        def scalar_score(qlist, qa, qn, v):
+            # replicates round-input of: when(norm(a)*norm(b)>0, dot/denom)
+            # .otherwise(0.0) with zip_with null extension and Spark's
+            # NaN>0 == true comparison semantics
+            if qlist is None or v is None:
+                return 0.0  # null norm → null denom → otherwise
+            cn = cn_of(v)
+            denom = qn * cn
+            if not (denom > 0) and not _np.isnan(denom):
+                return 0.0
+            if len(v) != len(qlist):
+                return None  # null dot through a taken when-branch
+            acc = 0.0
+            if is_f32:
+                va = _np.asarray(v, dtype=_np.float32)
+                for x, y in zip(qa, va):
+                    acc += float(x * y)
+            else:
+                for x, y in zip(qlist, v):
+                    acc += x * y
+            return acc / denom
+
+        # Arrow's pandas conversion folds NaN into null, so nullness and
+        # NaN-ness travel in an explicit `kind` column (0 = use score,
+        # 1 = NULL, 2 = NaN) and the JVM reconstructs the exact value
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[corpus_id]
+            vs = b[corpus_vec].to_numpy()
+            n = len(b)
+            lens = [(-1 if v is None else len(v)) for v in vs]
+            L = lens[0]
+            uniform = L >= 0 and all(x == L for x in lens)
+            frames = []
+            if uniform:
+                work = _np.float32 if is_f32 else _np.float64
+                V = (
+                    _np.stack(vs).astype(work)
+                    if L
+                    else _np.zeros((n, 0), dtype=work)
+                )
+                cn_acc = _np.zeros(n, dtype=_np.float64)
+                for i in range(L):
+                    cn_acc += (V[:, i] * V[:, i]).astype(_np.float64)
+                CN = _np.sqrt(cn_acc)
+                for q_id, qlist, qa, qn in qprep:
+                    if qlist is None:
+                        sc = _np.zeros(n, dtype=_np.float64)
+                        kind = _np.zeros(n, dtype=_np.int8)
+                    elif len(qlist) != L:
+                        # null dot through a taken when-branch → NULL score
+                        denom = qn * CN
+                        live = (denom > 0) | _np.isnan(denom)
+                        sc = _np.zeros(n, dtype=_np.float64)
+                        kind = _np.where(live, 1, 0).astype(_np.int8)
+                    else:
+                        dot = _np.zeros(n, dtype=_np.float64)
+                        for i in range(L):
+                            dot += (V[:, i] * qa[i]).astype(_np.float64)
+                        denom = qn * CN
+                        with _np.errstate(divide="ignore", invalid="ignore"):
+                            sc = _np.where(
+                                (denom > 0) | _np.isnan(denom),
+                                dot / denom,
+                                0.0,
+                            )
+                        isn = _np.isnan(sc)
+                        kind = _np.where(isn, 2, 0).astype(_np.int8)
+                        sc = _np.where(isn, 0.0, sc)
+                    frames.append(_pd.DataFrame({
+                        "__qid": _pd.Series([q_id] * n),
+                        "__cid": ids.reset_index(drop=True),
+                        "score": sc,
+                        "kind": kind,
+                    }))
+            else:
+                for q_id, qlist, qa, qn in qprep:
+                    raw = [scalar_score(qlist, qa, qn, v) for v in vs]
+                    sc = _np.array(
+                        [0.0 if (x is None or _np.isnan(x)) else x for x in raw],
+                        dtype=_np.float64,
+                    )
+                    kind = _np.array(
+                        [1 if x is None else (2 if _np.isnan(x) else 0)
+                         for x in raw],
+                        dtype=_np.int8,
+                    )
+                    frames.append(_pd.DataFrame({
+                        "__qid": _pd.Series([q_id] * n),
+                        "__cid": ids.reset_index(drop=True),
+                        "score": sc,
+                        "kind": kind,
+                    }))
+            yield _pd.concat(frames, ignore_index=True)
+
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .mapInPandas(
+            gen, f"__qid {qid_t}, __cid {cid_t}, score double, kind tinyint"
+        )
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.round(
+                F.when(F.col("kind") == 1, F.lit(None).cast("double"))
+                .when(F.col("kind") == 2, F.lit(float("nan")))
+                .otherwise(F.col("score")),
+                6,
+            ).alias("score"),
+        )
     )
     return _scored_topk(scored, k, query_id, corpus_id)
 

@@ -774,3 +774,89 @@ def test_rerank_blend_overrules_vector_proxy(spark):
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [11, 10]
     # doc 13 (outside the stage-1 pool) must not leak into the rerank
     assert all(r["vec_id"] != 13 for r in out)
+
+
+def test_brute_force_numpy_matches_expression_path(spark):
+    """r7: the numpy-scored brute_force_topk must match the JVM
+    expression-path score (prenormed cosine, rounded 6) EXACTLY, including
+    the degenerate semantics: null vectors (score 0.0), zero vectors
+    (0.0), NaN elements (Spark's NaN>0 comparison → NaN score),
+    length-mismatched vectors (NULL score via the taken when-branch),
+    empty arrays, and float32 fold arithmetic."""
+    from pdf_parser_benchmark_spark.functions.similarity import (
+        cosine_rounded_prenormed,
+        norm,
+    )
+    from pdf_parser_benchmark_spark.operators.knn import brute_force_topk
+
+    nan = float("nan")
+    corpus_rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [0.25, -1.5, 3.25, 0.125]),
+        (3, None),                      # null vector
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (5, [1.0, nan, 2.0, 3.0]),      # NaN element
+        (6, [1.0, 2.0]),                # shorter than the queries
+        (7, []),                        # empty
+        (8, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]),  # longer
+        (9, [1e30, -1e30, 1e-30, 7.0]), # extreme magnitudes
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [
+            (100, [0.5, 0.25, -1.0, 2.0]),
+            (101, [0.0, 0.0, 0.0, 0.0]),
+            (102, None),
+            (103, [nan, 1.0, 1.0, 1.0]),
+        ],
+        "qid long, qvec array<float>",
+    )
+    got = brute_force_topk(queries, corpus, k=len(corpus_rows)).select(
+        "qid", "vec_id", "score"
+    )
+    pairs = corpus.withColumn("__cn", norm(F.col("embedding"))).crossJoin(
+        F.broadcast(queries.withColumn("__qn", norm(F.col("qvec"))))
+    )
+    want = pairs.select(
+        "qid",
+        "vec_id",
+        cosine_rounded_prenormed(
+            F.col("qvec"), F.col("embedding"), F.col("__qn"), F.col("__cn")
+        ).alias("score"),
+    )
+    diff = (
+        got.alias("a")
+        .join(want.alias("b"), ["qid", "vec_id"], "full")
+        .filter("a.score IS DISTINCT FROM b.score")
+    )
+    assert diff.count() == 0, diff.collect()[:5]
+
+    # double-element corpus exercises the f64 fold branch
+    corpus_d = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.1, 0.2, 0.3]), (3, [1e-7, 2e155, -3.5])],
+        "vec_id long, embedding array<double>",
+    )
+    queries_d = spark.createDataFrame(
+        [(7, [0.3, -0.2, 0.9])], "qid long, qvec array<double>"
+    )
+    got_d = brute_force_topk(queries_d, corpus_d, k=3).select(
+        "qid", "vec_id", "score"
+    )
+    pairs_d = corpus_d.withColumn("__cn", norm(F.col("embedding"))).crossJoin(
+        F.broadcast(queries_d.withColumn("__qn", norm(F.col("qvec"))))
+    )
+    want_d = pairs_d.select(
+        "qid", "vec_id",
+        cosine_rounded_prenormed(
+            F.col("qvec"), F.col("embedding"), F.col("__qn"), F.col("__cn")
+        ).alias("score"),
+    )
+    assert (
+        got_d.alias("a").join(want_d.alias("b"), ["qid", "vec_id"], "full")
+        .filter("a.score IS DISTINCT FROM b.score").count() == 0
+    )
+
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(queries, corpus, k=2, max_queries=2)
